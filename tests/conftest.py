@@ -1,0 +1,36 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices so
+multi-chip sharding paths (Mesh/pjit/shard_map) are exercised without TPU
+hardware.
+
+The harness boot hook (sitecustomize) registers the single-TPU 'axon' backend
+and sets jax_platforms='axon,cpu' via jax.config — which overrides the
+JAX_PLATFORMS env var — so we must force CPU through jax.config here, before
+any backend is initialized."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_backend():
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert len(jax.devices()) == 8
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
