@@ -1,0 +1,95 @@
+"""Two-view sparse matching pipeline.
+
+Counterpart of reference gluefactory/models/two_view_pipeline.py:21-121:
+composes extractor -> matcher -> filter -> solver -> ground_truth; each step
+is optional and cached features ("cache" in a view) can replace extraction.
+
+Match convention (two_view_pipeline.py:9-11): matches0[i] = index in image 1
+of the match of keypoint i in image 0, or -1 if unmatched (-2 = ignore in GT).
+
+TPU adaptations: components with conf.trainable=False get their outputs passed
+through `stop_gradient` (parameter freezing itself is handled by the optimizer
+mask in train/trainer.py); all predictions are fixed-shape with keypoint
+masks.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from . import get_model
+from .base_model import BaseModel
+from ..utils.config import to_dict
+
+
+class TwoViewPipeline(BaseModel):
+    default_conf = {
+        "name": "two_view_pipeline",
+        "extractor": {"name": None, "trainable": False},
+        "matcher": {"name": None},
+        "filter": {"name": None},
+        "solver": {"name": None},
+        "ground_truth": {"name": None},
+        "allow_no_extract": False,
+        "run_gt_in_forward": False,
+    }
+    required_data_keys = ["view0", "view1"]
+    components = ["extractor", "matcher", "filter", "solver", "ground_truth"]
+
+    def setup(self):
+        for k in self.components:
+            sub = self.conf.get(k)
+            if sub and sub.get("name"):
+                setattr(self, k, get_model(sub["name"]).from_conf(to_dict(sub)))
+
+    def _has(self, k):
+        sub = self.conf.get(k)
+        return bool(sub and sub.get("name"))
+
+    def extract_view(self, data, i: str):
+        data_i = data[f"view{i}"]
+        pred_i = dict(data_i.get("cache", {}))
+        skip_extract = len(pred_i) > 0 and self.conf.allow_no_extract
+        if self._has("extractor") and not skip_extract:
+            pred_i = {**pred_i, **self.extractor({**data_i, **pred_i})}
+        if not self.conf.extractor.get("trainable", False):
+            pred_i = jax.tree.map(jax.lax.stop_gradient, pred_i)
+        return pred_i
+
+    def __call__(self, data: dict) -> dict:
+        self.check_required_keys(data)
+        pred0 = self.extract_view(data, "0")
+        pred1 = self.extract_view(data, "1")
+        pred = {
+            **{k + "0": v for k, v in pred0.items()},
+            **{k + "1": v for k, v in pred1.items()},
+        }
+        for k in ("matcher", "filter", "solver"):
+            if self._has(k):
+                pred = {**pred, **getattr(self, k)({**data, **pred})}
+        if self._has("ground_truth") and self.conf.run_gt_in_forward:
+            pred.update(self.ground_truth({**data, **pred}))
+        return pred
+
+    def loss(self, pred: dict, data: dict):
+        losses, metrics = {}, {}
+        total = 0
+        if self._has("ground_truth") and not self.conf.run_gt_in_forward:
+            pred = {**pred, **self.ground_truth({**data, **pred})}
+        for k in self.components:
+            if not self._has(k):
+                continue
+            sub_conf = self.conf.get(k)
+            if not sub_conf.get("apply_loss", True):
+                continue
+            try:
+                losses_, metrics_ = getattr(self, k).loss(pred, {**pred, **data})
+            except NotImplementedError:
+                continue
+            losses = {**losses, **losses_}
+            metrics = {**metrics, **metrics_}
+            total = losses_["total"] + total
+        return {**losses, "total": total}, metrics
+
+
+__main_model__ = TwoViewPipeline

@@ -1,0 +1,165 @@
+"""Pallas TPU kernels for LightGlue attention.
+
+The TPU replacement for the reference's FlashAttention path
+(gluefactory/models/matchers/lightglue.py:139-156, torch SDPA). Design for the
+LightGlue regime (N <= 4096 keypoints, head_dim 64):
+
+  - K and V for one (batch, head) fit comfortably in VMEM (N=4096, D=64 fp32 =
+    1 MB each), so the kernel tiles only over QUERY blocks: one
+    (BQ, D) @ (D, N) MXU pass, masked softmax in-register, then
+    (BQ, N) @ (N, D). No online-softmax bookkeeping is needed, unlike
+    HBM-resident flash attention — the LightGlue-specific win.
+  - Masked softmax uses exp(sim - rowmax) * col_mask with an explicit
+    denominator, so fully-padded rows produce exact zeros (same semantics as
+    ops/attention.py masked XLA path).
+  - The bidirectional cross-attention entry currently issues two kernel calls
+    (0->1 and 1->0). A single-pass bidirectional kernel that reuses each sim
+    tile for both directions (saving the second QK^T) accumulates the reverse
+    direction across sequential grid steps; planned optimization.
+
+Falls back to interpret mode off-TPU so tests exercise the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale):
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    k = k_ref[0].astype(jnp.float32)  # (N, D)
+    v = v_ref[0].astype(jnp.float32)  # (N, D)
+    mask_q = maskq_ref[0, :, 0]  # (BQ,) int32 (bool as int)
+    mask_k = maskk_ref[0, 0, :]  # (N,)
+
+    sim = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BQ, N)
+
+    neg = jnp.float32(-1e9)
+    colmask = (mask_k > 0)[None, :]
+    sim = jnp.where(colmask, sim, neg)
+    rowmax = jnp.max(sim, axis=-1, keepdims=True)
+    rowmax = jnp.maximum(rowmax, neg)  # finite even if all columns masked
+    e = jnp.where(colmask, jnp.exp(sim - rowmax), 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / (denom + 1e-30)
+
+    o = jax.lax.dot_general(
+        p, v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o = o * (mask_q > 0)[:, None]
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _fused_attention_bhnd(
+    q, k, v, mask_q, mask_k, block_q: int = 256, interpret: bool = False
+):
+    """Core entry on (BH, N, D) tensors with (BH, N) int32 masks."""
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    scale = d**-0.5
+
+    # pad to hardware-friendly sizes
+    nq_p = _round_up(nq, block_q)
+    nk_p = _round_up(nk, 128)
+    if nq_p != nq:
+        q = jnp.pad(q, ((0, 0), (0, nq_p - nq), (0, 0)))
+        mask_q = jnp.pad(mask_q, ((0, 0), (0, nq_p - nq)))
+    if nk_p != nk:
+        k = jnp.pad(k, ((0, 0), (0, nk_p - nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, nk_p - nk), (0, 0)))
+        mask_k = jnp.pad(mask_k, ((0, 0), (0, nk_p - nk)))
+    # TPU block shapes: masks as 3D so last-two-dims tiling rules hold
+    mask_q = mask_q[:, :, None]   # (BH, NQ, 1)
+    mask_k = mask_k[:, None, :]   # (BH, 1, NK)
+
+    grid = (bh, nq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, nk_p, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, nk_p, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, nk_p), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bh * nq_p * nk_p * d * 2,
+            bytes_accessed=4 * bh * (nq_p * d * 2 + 2 * nk_p * d),
+            transcendentals=bh * nq_p * nk_p,
+        ),
+    )(q, k, v, mask_q, mask_k)
+    return out[:, :nq]
+
+
+def fused_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask_q: Optional[jnp.ndarray] = None,
+    mask_k: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Masked multi-head attention via the Pallas kernel.
+
+    Args:
+        q: (B, H, Nq, D); k, v: (B, H, Nk, D).
+        mask_q: (B, Nq) bool or None; mask_k: (B, Nk) bool or None.
+    Returns (B, H, Nq, D), zeros at invalid query rows.
+    """
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    if mask_q is None:
+        mask_q = jnp.ones((b, nq), jnp.int32)
+    if mask_k is None:
+        mask_k = jnp.ones((b, nk), jnp.int32)
+    mask_q = jnp.repeat(mask_q.astype(jnp.int32), h, axis=0)  # (B*H, Nq)
+    mask_k = jnp.repeat(mask_k.astype(jnp.int32), h, axis=0)
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, d)
+    interpret = jax.default_backend() != "tpu"
+    block_q = min(256, _round_up(nq, 128))
+    out = _fused_attention_bhnd(
+        qf, kf, vf, mask_q, mask_k, block_q=block_q, interpret=interpret
+    )
+    return out.reshape(b, h, nq, d)
+
+
+def fused_cross_attention(
+    qk0: jnp.ndarray,
+    qk1: jnp.ndarray,
+    v0: jnp.ndarray,
+    v1: jnp.ndarray,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+):
+    """Bidirectional cross-attention (LightGlue CrossBlock semantics): both
+    directions share the projection, so sim(1->0) = sim(0->1)^T. The internal
+    D^-1/2 scaling equals the reference's per-side D^-1/4 (lightglue.py:235).
+    """
+    m0 = fused_attention(qk0, qk1, v1, mask0, mask1)
+    m1 = fused_attention(qk1, qk0, v0, mask1, mask0)
+    return m0, m1
+
+
+__all__ = ["fused_attention", "fused_cross_attention"]

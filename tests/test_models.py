@@ -1,0 +1,332 @@
+"""Tests for the model stack: LightGlue forward/loss, NN matcher, SuperPoint,
+pipeline composition, masking invariance, assignment ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluefactory_tpu.geometry.homography import warp_points_np, sample_homography_corners
+from gluefactory_tpu.models import get_model
+from gluefactory_tpu.ops.assignment import (
+    filter_matches,
+    masked_log_softmax,
+    sigmoid_log_double_softmax,
+)
+from gluefactory_tpu.ops.attention import (
+    apply_rotary,
+    cross_attention_bidirectional,
+    rotate_half,
+    self_attention,
+)
+
+
+class TestAssignmentOps:
+    def test_masked_log_softmax_matches_plain(self, rng):
+        x = jnp.asarray(rng.randn(2, 5, 7), jnp.float32)
+        out = masked_log_softmax(x, jnp.ones((2, 5, 7), bool), axis=-1)
+        np.testing.assert_allclose(out, jax.nn.log_softmax(x, -1), atol=1e-5)
+
+    def test_masked_log_softmax_excludes(self, rng):
+        x = jnp.asarray(rng.randn(1, 4, 6), jnp.float32)
+        mask = jnp.ones((1, 4, 6), bool).at[:, :, 4:].set(False)
+        out = masked_log_softmax(x, mask, axis=-1)
+        np.testing.assert_allclose(
+            out[:, :, :4], jax.nn.log_softmax(x[:, :, :4], -1), atol=1e-5
+        )
+        assert float(out[:, :, 4:].max()) < -1e8
+
+    def test_double_softmax_rows_sum_to_leq_one(self, rng):
+        sim = jnp.asarray(rng.randn(2, 8, 10), jnp.float32)
+        z0 = jnp.asarray(rng.randn(2, 8, 1), jnp.float32)
+        z1 = jnp.asarray(rng.randn(2, 10, 1), jnp.float32)
+        scores = sigmoid_log_double_softmax(sim, z0, z1)
+        assert scores.shape == (2, 9, 11)
+        p = np.asarray(jnp.exp(scores[:, :-1, :-1]))
+        assert p.sum(-1).max() <= 1.0 + 1e-4
+
+    def test_filter_matches_perfect(self):
+        # diagonal-dominant scores -> identity matching
+        m, n = 6, 6
+        sim = jnp.eye(m)[None] * 10.0
+        z = jnp.full((1, m, 1), 5.0)
+        scores = sigmoid_log_double_softmax(sim, z, z)
+        m0, m1, ms0, ms1 = filter_matches(scores, 0.0)
+        np.testing.assert_array_equal(m0[0], np.arange(m))
+        np.testing.assert_array_equal(m1[0], np.arange(n))
+        assert float(ms0.min()) > 0
+
+    def test_filter_matches_threshold(self):
+        sim = jnp.eye(4)[None] * 0.1  # weak scores
+        z = jnp.full((1, 4, 1), -5.0)  # low matchability
+        scores = sigmoid_log_double_softmax(sim, z, z)
+        m0, *_ = filter_matches(scores, 0.5)
+        assert np.all(np.asarray(m0) == -1)
+
+
+class TestAttentionOps:
+    def test_rotate_half(self):
+        x = jnp.asarray([[1.0, 2.0, 3.0, 4.0]])
+        np.testing.assert_allclose(rotate_half(x), [[-2.0, 1.0, -4.0, 3.0]])
+
+    def test_rotary_preserves_norm(self, rng):
+        t = jnp.asarray(rng.randn(2, 4, 16, 64), jnp.float32)
+        theta = jnp.asarray(rng.randn(2, 1, 16, 32), jnp.float32)
+        enc = jnp.stack(
+            [jnp.repeat(jnp.cos(theta), 2, -1), jnp.repeat(jnp.sin(theta), 2, -1)], 0
+        )
+        out = apply_rotary(t, enc)
+        np.testing.assert_allclose(
+            jnp.linalg.norm(out, axis=-1), jnp.linalg.norm(t, axis=-1), rtol=1e-4
+        )
+
+    def test_self_attention_mask_invariance(self, rng):
+        """Adding padded tokens must not change valid-token outputs."""
+        b, h, n, d = 1, 2, 12, 16
+        q = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        mask = jnp.ones((b, n), bool).at[:, 8:].set(False)
+        out_masked = self_attention(q, k, v, mask)
+        out_small = self_attention(q[:, :, :8], k[:, :, :8], v[:, :, :8], None)
+        np.testing.assert_allclose(out_masked[:, :, :8], out_small, atol=1e-5)
+
+    def test_cross_attention_bidirectional_vs_two_sdpa(self, rng):
+        b, h, m, n, d = 2, 2, 10, 14, 16
+        qk0 = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        qk1 = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        v0 = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        v1 = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        m0, m1 = cross_attention_bidirectional(qk0, qk1, v0, v1)
+        # reference: two independent SDPA calls with shared qk scaling
+        s = d**-0.25
+        ref0 = self_attention(qk0 * s * d**0.25, qk1 * s / d**0.25, v1, None)
+        # scale so that total = d^-0.5: q*(d^-.25) @ k*(d^-.25) has logit scale
+        sim = jnp.einsum("bhid,bhjd->bhij", qk0 * s, qk1 * s)
+        ref_m0 = jnp.einsum("bhij,bhjd->bhid", jax.nn.softmax(sim, -1), v1)
+        ref_m1 = jnp.einsum("bhij,bhid->bhjd", jax.nn.softmax(sim, -2), v0)
+        np.testing.assert_allclose(m0, ref_m0, atol=1e-5)
+        np.testing.assert_allclose(m1, ref_m1, atol=1e-5)
+
+    def test_cross_attention_mask_invariance(self, rng):
+        b, h, m, n, d = 1, 2, 8, 12, 16
+        qk0 = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        qk1 = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        v0 = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        v1 = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        mask0 = jnp.ones((b, m), bool).at[:, 6:].set(False)
+        mask1 = jnp.ones((b, n), bool).at[:, 9:].set(False)
+        out0, out1 = cross_attention_bidirectional(qk0, qk1, v0, v1, mask0, mask1)
+        ref0, ref1 = cross_attention_bidirectional(
+            qk0[:, :, :6], qk1[:, :, :9], v0[:, :, :6], v1[:, :, :9]
+        )
+        np.testing.assert_allclose(out0[:, :, :6], ref0, atol=1e-5)
+        np.testing.assert_allclose(out1[:, :, :9], ref1, atol=1e-5)
+
+
+def make_matching_data(rng, b=2, n=64, d=64, n_common=48, size=(640, 480)):
+    """Synthetic pair: common keypoints share descriptors (plus noise)."""
+    n_common = min(n_common, n * 3 // 4)
+    H = np.eye(3)
+    kp0 = rng.uniform(40, 440, (b, n, 2)).astype(np.float32)
+    kp1 = rng.uniform(40, 440, (b, n, 2)).astype(np.float32)
+    desc0 = rng.randn(b, n, d).astype(np.float32)
+    desc1 = rng.randn(b, n, d).astype(np.float32)
+    perm = rng.permutation(n)[:n_common]
+    for bi in range(b):
+        kp1[bi, :n_common] = kp0[bi, perm]
+        desc1[bi, :n_common] = desc0[bi, perm] + 0.05 * rng.randn(n_common, d)
+    desc0 /= np.linalg.norm(desc0, axis=-1, keepdims=True)
+    desc1 /= np.linalg.norm(desc1, axis=-1, keepdims=True)
+    data = {
+        "keypoints0": jnp.asarray(kp0),
+        "keypoints1": jnp.asarray(kp1),
+        "descriptors0": jnp.asarray(desc0),
+        "descriptors1": jnp.asarray(desc1),
+        "view0": {"image_size": jnp.asarray([size] * b, jnp.float32)},
+        "view1": {"image_size": jnp.asarray([size] * b, jnp.float32)},
+        "H_0to1": jnp.asarray(np.stack([H] * b), jnp.float32),
+    }
+    gt0 = np.full((b, n), -1, np.int64)
+    gt0[:, perm] = np.arange(n_common)
+    return data, perm, gt0
+
+
+class TestNearestNeighborMatcher:
+    def test_matches_common_descriptors(self, rng):
+        data, perm, gt0 = make_matching_data(rng)
+        model = get_model("nearest_neighbor_matcher").from_conf({})
+        pred = model.apply({}, data)
+        m0 = np.asarray(pred["matches0"])
+        acc = (m0[:, perm] == np.arange(48)).mean()
+        assert acc > 0.95
+
+    def test_respects_masks(self, rng):
+        data, perm, gt0 = make_matching_data(rng)
+        mask1 = np.ones((2, 64), bool)
+        mask1[:, :10] = False  # mask out some side-1 keypoints
+        data["keypoint_mask1"] = jnp.asarray(mask1)
+        model = get_model("nearest_neighbor_matcher").from_conf({})
+        pred = model.apply({}, data)
+        m0 = np.asarray(pred["matches0"])
+        assert not np.any((m0 >= 0) & (m0 < 10))
+
+
+class TestLightGlue:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = get_model("lightglue").from_conf(
+            {"n_layers": 3, "descriptor_dim": 64, "input_dim": 64, "num_heads": 2}
+        )
+        rng0 = np.random.RandomState(7)
+        data, _, _ = make_matching_data(rng0, b=1, n=32, d=64)
+        params = model.init(jax.random.PRNGKey(0), data)
+        return model, params
+
+    def test_forward_shapes(self, model_and_params, rng):
+        model, params = model_and_params
+        data, perm, gt0 = make_matching_data(rng, b=2, n=32, d=64)
+        pred = model.apply(params, data)
+        assert pred["matches0"].shape == (2, 32)
+        assert pred["log_assignment"].shape == (2, 33, 33)
+        assert pred["ref_descriptors0"].shape == (2, 3, 32, 64)
+        assert pred["prune0"].shape == (2, 32)
+
+    def test_mask_invariance(self, model_and_params, rng):
+        """Output for valid keypoints must be identical with/without padding."""
+        model, params = model_and_params
+        data, _, _ = make_matching_data(rng, b=1, n=32, d=64)
+        # build a padded version: 8 extra garbage keypoints, masked out
+        pad = 8
+        data_pad = dict(data)
+        for k, side in (("0", 32), ("1", 32)):
+            kp = np.asarray(data[f"keypoints{k}"])
+            dc = np.asarray(data[f"descriptors{k}"])
+            kp_pad = np.concatenate([kp, rng.uniform(0, 400, (1, pad, 2)).astype(np.float32)], 1)
+            dc_pad = np.concatenate([dc, rng.randn(1, pad, 64).astype(np.float32)], 1)
+            data_pad[f"keypoints{k}"] = jnp.asarray(kp_pad)
+            data_pad[f"descriptors{k}"] = jnp.asarray(dc_pad)
+            mask = np.ones((1, 32 + pad), bool)
+            mask[:, 32:] = False
+            data_pad[f"keypoint_mask{k}"] = jnp.asarray(mask)
+        pred = model.apply(params, data)
+        pred_pad = model.apply(params, data_pad)
+        np.testing.assert_allclose(
+            pred_pad["log_assignment"][:, :32, :32],
+            pred["log_assignment"][:, :32, :32],
+            atol=2e-3,
+        )
+        m_ref = np.asarray(pred["matches0"][0])
+        m_pad = np.asarray(pred_pad["matches0"][0, :32])
+        assert (m_ref == m_pad).mean() > 0.95
+        # padded keypoints must never match
+        assert np.all(np.asarray(pred_pad["matches0"][0, 32:]) == -1)
+
+    def test_loss_decreases_on_overfit(self, rng):
+        """A few gradient steps on one synthetic batch must reduce the loss."""
+        import optax
+
+        model = get_model("lightglue").from_conf(
+            {
+                "n_layers": 2,
+                "descriptor_dim": 64,
+                "input_dim": 64,
+                "num_heads": 2,
+                "is_training": True,
+            }
+        )
+        data, perm, gt0 = make_matching_data(rng, b=2, n=32, d=64)
+        from gluefactory_tpu.geometry.gt_generation import gt_matches_from_homography
+
+        gt = gt_matches_from_homography(
+            data["keypoints0"], data["keypoints1"], data["H_0to1"], pos_th=3
+        )
+        data = {
+            **data,
+            "gt_assignment": gt["assignment"],
+            "gt_matches0": gt["matches0"],
+            "gt_matches1": gt["matches1"],
+        }
+        params = model.init(jax.random.PRNGKey(0), data)
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                pred = model.apply(p, data)
+                losses, _ = model.apply(p, pred, data, method="loss")
+                return losses["total"].mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for _ in range(20):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] - 0.3, losses
+
+    def test_adaptive_depth_runs(self, model_and_params, rng):
+        model, params = model_and_params
+        conf = {
+            "n_layers": 3, "descriptor_dim": 64, "input_dim": 64, "num_heads": 2,
+            "depth_confidence": 0.95, "width_confidence": 0.99,
+        }
+        model_ad = get_model("lightglue").from_conf(conf)
+        data, _, _ = make_matching_data(rng, b=1, n=32, d=64)
+        pred = model_ad.apply(params, data)
+        assert pred["matches0"].shape == (1, 32)
+        assert 0 <= int(pred["stop_layer"]) <= 2
+
+
+class TestSuperPoint:
+    def test_detects_corners(self, rng):
+        model = get_model("superpoint_open").from_conf(
+            {"max_num_keypoints": 64, "detection_threshold": 0.0}
+        )
+        img = jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), {"image": img})
+        pred = model.apply(variables, {"image": img})
+        assert pred["keypoints"].shape == (1, 64, 2)
+        assert pred["descriptors"].shape == (1, 64, 256)
+        # descriptors are unit norm
+        np.testing.assert_allclose(
+            jnp.linalg.norm(pred["descriptors"], axis=-1), 1.0, atol=1e-4
+        )
+        kp = np.asarray(pred["keypoints"][0])
+        assert kp.min() >= 0 and kp.max() <= 64
+
+    def test_nms_suppresses_neighbors(self):
+        from gluefactory_tpu.models.extractors.superpoint_open import simple_nms
+
+        scores = jnp.zeros((1, 32, 32))
+        scores = scores.at[0, 10, 10].set(1.0).at[0, 10, 12].set(0.5)
+        out = simple_nms(scores, radius=4)
+        assert float(out[0, 10, 10]) == 1.0
+        assert float(out[0, 10, 12]) == 0.0
+
+
+class TestTwoViewPipeline:
+    def test_composed_pipeline_with_gt(self, rng):
+        conf = {
+            "extractor": {"name": None},
+            "matcher": {"name": "nearest_neighbor_matcher"},
+            "ground_truth": {"name": "homography_matcher"},
+            "run_gt_in_forward": True,
+        }
+        model = get_model("two_view_pipeline").from_conf(conf)
+        data, perm, gt0 = make_matching_data(rng)
+        # identity H: kp1[:, :48] = kp0[:, perm] -> those ARE the gt matches
+        pred = model.apply({}, data)
+        assert "matches0" in pred and "gt_matches0" in pred
+        gm0 = np.asarray(pred["gt_matches0"])
+        m0 = np.asarray(pred["matches0"])
+        matched = gm0 >= 0
+        agree = (m0 == gm0)[matched].mean()
+        assert agree > 0.9
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v", "-x"])

@@ -1,0 +1,79 @@
+"""Pallas kernel numerics vs the XLA reference implementations (interpret mode
+on CPU; the same code path compiles on TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluefactory_tpu.ops.attention import (
+    cross_attention_bidirectional,
+    self_attention,
+)
+from gluefactory_tpu.ops.pallas_attention import fused_attention, fused_cross_attention
+
+
+class TestFusedAttention:
+    @pytest.mark.parametrize("nq,nk", [(64, 64), (128, 256), (200, 100)])
+    def test_matches_xla(self, rng, nq, nk):
+        b, h, d = 2, 2, 64
+        q = jnp.asarray(rng.randn(b, h, nq, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, nk, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, nk, d), jnp.float32)
+        out = fused_attention(q, k, v)
+        ref = self_attention(q, k, v, None, impl="xla")
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+    def test_masked_matches_xla(self, rng):
+        b, h, n, d = 1, 4, 96, 64
+        q = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        mask = jnp.asarray(rng.rand(b, n) > 0.3)
+        out = fused_attention(q, k, v, mask, mask)
+        ref = self_attention(q, k, v, mask, impl="xla")
+        valid = np.asarray(mask[0])
+        np.testing.assert_allclose(
+            np.asarray(out)[:, :, valid], np.asarray(ref)[:, :, valid],
+            atol=2e-5, rtol=1e-4,
+        )
+        # invalid rows are exact zeros in the kernel
+        assert np.all(np.asarray(out)[:, :, ~valid] == 0)
+
+    def test_all_masked_is_zero(self, rng):
+        b, h, n, d = 1, 1, 64, 64
+        q = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        mask = jnp.zeros((b, n), bool)
+        out = fused_attention(q, q, q, mask, mask)
+        assert np.all(np.asarray(out) == 0)
+
+
+class TestFusedCrossAttention:
+    def test_matches_xla_bidirectional(self, rng):
+        b, h, m, n, d = 2, 2, 80, 112, 64
+        qk0 = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        qk1 = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        v0 = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        v1 = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        mask0 = jnp.asarray(rng.rand(b, m) > 0.2)
+        mask1 = jnp.asarray(rng.rand(b, n) > 0.2)
+        m0_k, m1_k = fused_cross_attention(qk0, qk1, v0, v1, mask0, mask1)
+        m0_r, m1_r = cross_attention_bidirectional(
+            qk0, qk1, v0, v1, mask0, mask1, impl="xla"
+        )
+        v0m = np.asarray(mask0)
+        v1m = np.asarray(mask1)
+        for bi in range(b):
+            np.testing.assert_allclose(
+                np.asarray(m0_k)[bi][:, v0m[bi]],
+                np.asarray(m0_r)[bi][:, v0m[bi]],
+                atol=2e-5, rtol=1e-4,
+            )
+            np.testing.assert_allclose(
+                np.asarray(m1_k)[bi][:, v1m[bi]],
+                np.asarray(m1_r)[bi][:, v1m[bi]],
+                atol=2e-5, rtol=1e-4,
+            )
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v", "-x"])
