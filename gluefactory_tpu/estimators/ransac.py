@@ -1,0 +1,294 @@
+"""Batched RANSAC primitives on TPU.
+
+TPU-native replacement for the reference's C++ RANSAC backends (PoseLib /
+OpenCV / pycolmap, SURVEY §2.7): instead of sequential hypothesize-and-verify
+with adaptive termination, we draw a FIXED budget of K minimal samples, solve
+all minimal problems in one vmapped batch (tiny eigenproblems on the MXU/VPU),
+score all K x N residuals with one matmul-shaped pass, pick the best model and
+locally optimize it with a few IRLS steps (LO-RANSAC). Fixed shapes, no host
+sync, trivially vmappable over image pairs — the threshold sweep of the evals
+(reference eval/hpatches.py:118-124 loops thresholds sequentially) becomes one
+extra batch axis.
+
+Solvers:
+  - homography: 4-point normalized DLT (shared with geometry.solve_homography_dlt)
+  - essential matrix: 8-point algorithm + rank-2/equal-singular projection,
+    cheirality-checked decomposition into (R, t)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.epipolar import decompose_essential_matrix
+from ..geometry.homography import solve_homography_dlt, warp_points
+from ..geometry.utils import to_homogeneous
+
+_HI = "highest"
+
+
+def sample_minimal_indices(key, valid, num_hypotheses: int, sample_size: int):
+    """Sample `num_hypotheses` index sets of `sample_size` distinct valid
+    correspondences via the Gumbel-top-k trick (vectorized, no rejection)."""
+    n = valid.shape[-1]
+    g = jax.random.gumbel(key, (num_hypotheses, n))
+    scores = g + jnp.where(valid, 0.0, -1e9)[None, :]
+    _, idx = jax.lax.top_k(scores, sample_size)
+    return idx  # (K, S)
+
+
+def homography_residuals(kpts0, kpts1, H):
+    """Symmetric transfer error per correspondence: H (..., 3, 3),
+    kpts (..., N, 2) -> (..., N)."""
+    d01 = jnp.sum((warp_points(kpts0, H) - kpts1) ** 2, axis=-1)
+    d10 = jnp.sum((warp_points(kpts1, H, inverse=True) - kpts0) ** 2, axis=-1)
+    err = 0.5 * (jnp.sqrt(jnp.maximum(d01, 0)) + jnp.sqrt(jnp.maximum(d10, 0)))
+    return jnp.where(jnp.isfinite(err), err, 1e9)
+
+
+class RansacResult(NamedTuple):
+    model: jnp.ndarray  # (3, 3) H or E
+    inliers: jnp.ndarray  # (N,) bool
+    score: jnp.ndarray  # scalar inlier count (MSAC score)
+    success: jnp.ndarray  # bool
+
+
+def _msac_score(err, th, valid):
+    """Truncated-quadratic (MSAC) score: sum over valid of max(0, 1-(e/th)^2)."""
+    w = jnp.maximum(0.0, 1.0 - (err / th) ** 2) * valid
+    return jnp.sum(w, axis=-1)
+
+
+def ransac_homography(
+    kpts0: jnp.ndarray,
+    kpts1: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    th: float = 3.0,
+    num_hypotheses: int = 1024,
+    refine_iters: int = 3,
+) -> RansacResult:
+    """Single-pair batched RANSAC for a homography. All args unbatched
+    (N, 2) / (N,); vmap for pairs."""
+    valid_f = valid.astype(jnp.float32)
+    idx = sample_minimal_indices(key, valid, num_hypotheses, 4)  # (K, 4)
+    p0 = kpts0[idx]  # (K, 4, 2)
+    p1 = kpts1[idx]
+    Hs = solve_homography_dlt(p0, p1)  # (K, 3, 3)
+
+    errs = homography_residuals(kpts0[None], kpts1[None], Hs)  # (K, N)
+    scores = _msac_score(errs, th, valid_f[None])  # (K,)
+    best = jnp.argmax(scores)
+    H = Hs[best]
+
+    # LO-RANSAC: IRLS with truncated-quadratic weights around the best model
+    def refine(H, _):
+        err = homography_residuals(kpts0, kpts1, H[None])[0]
+        w = jnp.maximum(0.0, 1.0 - (err / th) ** 2) * valid_f
+        H_new = solve_homography_dlt(kpts0[None], kpts1[None], w[None])[0]
+        # keep refinement only if it improves the MSAC score
+        better = _msac_score(
+            homography_residuals(kpts0, kpts1, H_new[None])[0][None], th, valid_f[None]
+        )[0] >= _msac_score(err[None], th, valid_f[None])[0]
+        H = jnp.where(better & jnp.all(jnp.isfinite(H_new)), H_new, H)
+        return H, None
+
+    H, _ = jax.lax.scan(refine, H, None, length=refine_iters)
+
+    err = homography_residuals(kpts0, kpts1, H[None])[0]
+    inliers = (err < th) & valid
+    success = jnp.sum(inliers) >= 4
+    return RansacResult(H, inliers, jnp.sum(inliers.astype(jnp.float32)), success)
+
+
+# --------------------------------------------------------------------------
+# essential matrix / relative pose
+# --------------------------------------------------------------------------
+
+
+def _hartley_transform(p, weights=None):
+    """Hartley conditioning: zero-(weighted-)mean, mean distance sqrt(2).
+    Returns (p_normalized, T) with T the 3x3 transform in homogeneous coords.
+    Essential for fp32 eigensolves on TPU, whose iterative eigh loses the
+    smallest-eigenvector direction on ill-conditioned A^T A."""
+    if weights is None:
+        w = jnp.ones(p.shape[:-1], p.dtype)
+    else:
+        w = weights
+    wsum = jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-8)
+    mean = jnp.sum(p * w[..., None], axis=-2, keepdims=True) / wsum[..., None]
+    d = jnp.linalg.norm(p - mean, axis=-1)
+    scale = jnp.sum(d * w, axis=-1, keepdims=True) / wsum
+    s = jnp.sqrt(2.0) / jnp.maximum(scale, 1e-8)  # (..., 1)
+    pn = (p - mean) * s[..., None]
+    z = jnp.zeros_like(s[..., 0])
+    o = jnp.ones_like(z)
+    T = jnp.stack(
+        [
+            s[..., 0], z, -s[..., 0] * mean[..., 0, 0],
+            z, s[..., 0], -s[..., 0] * mean[..., 0, 1],
+            z, z, o,
+        ],
+        axis=-1,
+    ).reshape(p.shape[:-2] + (3, 3))
+    return pn, T
+
+
+def _eight_point(p0n, p1n, weights=None):
+    """(Weighted) 8-point algorithm on normalized image coords.
+
+    p0n, p1n: (..., N, 2). Hartley-conditioned solve of the epipolar
+    constraint, denormalized, then projected onto the essential manifold
+    (equal singular values, rank 2). Returns (..., 3, 3).
+    """
+    p0c, T0 = _hartley_transform(p0n, weights)
+    p1c, T1 = _hartley_transform(p1n, weights)
+    x0, y0 = p0c[..., 0], p0c[..., 1]
+    x1, y1 = p1c[..., 0], p1c[..., 1]
+    one = jnp.ones_like(x0)
+    # rows of A: x1 F x0 = 0 with F row-major
+    A = jnp.stack(
+        [x1 * x0, x1 * y0, x1, y1 * x0, y1 * y0, y1, x0, y0, one], axis=-1
+    )  # (..., N, 9)
+    if weights is not None:
+        A = A * weights[..., None]
+    AtA = jnp.matmul(jnp.swapaxes(A, -1, -2), A, precision=_HI)
+    _, eigvecs = jnp.linalg.eigh(AtA)
+    F = eigvecs[..., :, 0].reshape(AtA.shape[:-2] + (3, 3))
+    # denormalize: x1c = T1 x1 => x1^T (T1^T F T0) x0 = 0
+    E = jnp.matmul(
+        jnp.matmul(jnp.swapaxes(T1, -1, -2), F, precision=_HI), T0, precision=_HI
+    )
+    # project to essential manifold
+    U, s, Vt = jnp.linalg.svd(E)
+    sigma = (s[..., 0] + s[..., 1]) / 2.0
+    S = jnp.stack([sigma, sigma, jnp.zeros_like(sigma)], axis=-1)
+    E = jnp.matmul(U * S[..., None, :], Vt, precision=_HI)
+    return E
+
+
+def sampson_distance(p0n, p1n, E):
+    """First-order geometric (Sampson) distance in normalized coords:
+    (..., N) for E (..., 3, 3), points (..., N, 2)."""
+    p0h = to_homogeneous(p0n)
+    p1h = to_homogeneous(p1n)
+    Ep0 = jnp.einsum("...ij,...nj->...ni", E, p0h, precision=_HI)
+    Etp1 = jnp.einsum("...ji,...nj->...ni", E, p1h, precision=_HI)
+    num = jnp.einsum("...ni,...ni->...n", p1h, Ep0, precision=_HI) ** 2
+    den = Ep0[..., 0] ** 2 + Ep0[..., 1] ** 2 + Etp1[..., 0] ** 2 + Etp1[..., 1] ** 2
+    d = num / jnp.maximum(den, 1e-12)
+    return jnp.where(jnp.isfinite(d), d, 1e9)
+
+
+def _triangulate_depths(p0n, p1n, R, t):
+    """Depths of points for pose (R, t): x1 ~ R x0 z0 + t. Returns (z0, z1)."""
+    x0 = to_homogeneous(p0n)  # (..., N, 3)
+    x1 = to_homogeneous(p1n)
+    Rx0 = jnp.einsum("...ij,...nj->...ni", R, x0, precision=_HI)
+    # z0 minimizes || [x1]x (z0 Rx0 + t) ||^2
+    c = jnp.cross(x1, Rx0)  # [x1]x Rx0
+    d = jnp.cross(x1, jnp.broadcast_to(t[..., None, :], x1.shape))
+    z0 = -jnp.sum(c * d, axis=-1) / jnp.maximum(jnp.sum(c * c, axis=-1), 1e-12)
+    p3d1 = Rx0 * z0[..., None] + t[..., None, :]
+    z1 = p3d1[..., 2]
+    return z0, z1
+
+
+def decompose_and_choose(E, p0n, p1n, valid):
+    """All 4 (R, t) candidates of E; pick the one with max cheirality count
+    (reference uses cv2.recoverPose / poselib internally; here it's batched)."""
+    R1, R2, t = decompose_essential_matrix(E)
+    candidates = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
+    counts, results = [], []
+    for R, tc in candidates:
+        z0, z1 = _triangulate_depths(p0n, p1n, R, tc)
+        good = (z0 > 0) & (z1 > 0) & valid
+        counts.append(jnp.sum(good.astype(jnp.int32), axis=-1))
+        results.append((R, tc, good))
+    counts = jnp.stack(counts, axis=-1)  # (..., 4)
+    best = jnp.argmax(counts, axis=-1)
+    Rs = jnp.stack([r for r, _, _ in results], axis=-3)
+    ts = jnp.stack([t_ for _, t_, _ in results], axis=-2)
+    cheis = jnp.stack([g for _, _, g in results], axis=-2)
+    R = jnp.take_along_axis(Rs, best[..., None, None, None], axis=-3)[..., 0, :, :]
+    t_best = jnp.take_along_axis(ts, best[..., None, None], axis=-2)[..., 0, :]
+    chei = jnp.take_along_axis(cheis, best[..., None, None], axis=-2)[..., 0, :]
+    return R, t_best, chei
+
+
+class RelPoseResult(NamedTuple):
+    R: jnp.ndarray  # (3, 3)
+    t: jnp.ndarray  # (3,)
+    E: jnp.ndarray  # (3, 3)
+    inliers: jnp.ndarray  # (N,) bool
+    score: jnp.ndarray
+    success: jnp.ndarray
+
+
+def ransac_relative_pose(
+    p0n: jnp.ndarray,
+    p1n: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    th: float = 1e-3,
+    num_hypotheses: int = 1024,
+    refine_iters: int = 3,
+) -> RelPoseResult:
+    """Batched RANSAC for the essential matrix on NORMALIZED image coords.
+
+    th is in normalized units (pixel_th / mean_focal, like the reference
+    opencv backend, robust_estimators/relative_pose/opencv.py:30-43).
+    Single pair; vmap over pairs.
+    """
+    valid_f = valid.astype(jnp.float32)
+    idx = sample_minimal_indices(key, valid, num_hypotheses, 8)
+    Es = _eight_point(p0n[idx], p1n[idx])  # (K, 3, 3)
+    errs = sampson_distance(p0n[None], p1n[None], Es)  # (K, N)
+    th2 = th * th
+    # hypothesis selection at a RELAXED threshold: minimal 8-point estimates
+    # are noisy, so a tight threshold locks onto models that overfit few
+    # points; graduated refinement below anneals back to th (LO-RANSAC with
+    # threshold annealing, cf. MAGSAC/GC-RANSAC practice).
+    w = jnp.maximum(0.0, 1.0 - errs / (16.0 * th2)) * valid_f[None]
+    scores = jnp.sum(w, axis=-1)
+    best = jnp.argmax(scores)
+    E = Es[best]
+
+    # annealed threshold multipliers: coarse-to-fine, then polish at 1x
+    multipliers = [16.0, 8.0, 4.0, 2.0] + [1.0] * max(refine_iters, 2)
+
+    def refine(E, mult):
+        t2 = th2 * mult
+        err = sampson_distance(p0n, p1n, E[None])[0]
+        w = jnp.maximum(0.0, 1.0 - err / t2) * valid_f
+        E_new = _eight_point(p0n[None], p1n[None], w[None])[0]
+        old = jnp.sum(jnp.maximum(0.0, 1.0 - err / t2) * valid_f)
+        new_err = sampson_distance(p0n, p1n, E_new[None])[0]
+        new = jnp.sum(jnp.maximum(0.0, 1.0 - new_err / t2) * valid_f)
+        E = jnp.where((new >= old) & jnp.all(jnp.isfinite(E_new)), E_new, E)
+        return E, None
+
+    E, _ = jax.lax.scan(refine, E, jnp.asarray(multipliers))
+
+    err = sampson_distance(p0n, p1n, E[None])[0]
+    inliers = (err < th2) & valid
+    R, t, chei = decompose_and_choose(E, p0n, p1n, inliers)
+    inliers = inliers & chei
+    success = jnp.sum(inliers) >= 8
+    return RelPoseResult(
+        R, t, E, inliers, jnp.sum(inliers.astype(jnp.float32)), success
+    )
+
+
+__all__ = [
+    "ransac_homography",
+    "ransac_relative_pose",
+    "sample_minimal_indices",
+    "homography_residuals",
+    "sampson_distance",
+    "RansacResult",
+    "RelPoseResult",
+]

@@ -1,0 +1,152 @@
+"""RANSAC estimator tests: recovery of known H / relative pose under outliers,
+cross-checked against the OpenCV baselines, plus vmap/jit coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluefactory_tpu.estimators import (
+    load_estimator,
+    ransac_homography,
+    ransac_relative_pose,
+)
+from gluefactory_tpu.geometry import (
+    Camera,
+    Pose,
+    homography_corner_error,
+    relative_pose_error,
+    so3exp_map,
+)
+from gluefactory_tpu.geometry.homography import (
+    sample_homography_corners,
+    warp_points_np,
+)
+
+
+def make_h_problem(rng, n=200, outlier_frac=0.4, noise=0.5):
+    H, *_ = sample_homography_corners((640, 480), (640, 480), 0.3, rng=rng)
+    kp0 = rng.uniform(50, 430, (n, 2)).astype(np.float32)
+    kp1 = warp_points_np(kp0, H).astype(np.float32)
+    kp1 += rng.randn(n, 2).astype(np.float32) * noise
+    n_out = int(n * outlier_frac)
+    kp1[:n_out] = rng.uniform(0, 640, (n_out, 2)).astype(np.float32)
+    return H, kp0, kp1, n_out
+
+
+def make_pose_problem(rng, n=200, outlier_frac=0.4, noise=0.5):
+    cam = Camera.from_params(640, 480, 600.0, 600.0, 320.0, 240.0)
+    aa = rng.randn(3) * 0.15
+    t = rng.randn(3)
+    t = t / np.linalg.norm(t)
+    T = Pose.from_Rt(np.asarray(so3exp_map(jnp.asarray(aa))), t.astype(np.float32))
+    p3d = rng.uniform([-3, -2, 3], [3, 2, 12], (n, 3)).astype(np.float32)
+    kp0, v0 = cam.cam2image(jnp.asarray(p3d[None]))
+    kp1, v1 = cam.cam2image(T.transform(jnp.asarray(p3d[None])))
+    kp0 = np.asarray(kp0[0])
+    kp1 = np.asarray(kp1[0]) + rng.randn(n, 2).astype(np.float32) * noise
+    ok = np.asarray(v0[0] & v1[0])
+    n_out = int(n * outlier_frac)
+    kp1[:n_out] = rng.uniform(0, 640, (n_out, 2)).astype(np.float32)
+    return cam, T, kp0, kp1, ok
+
+
+class TestHomographyRansac:
+    def test_recovers_h_with_outliers(self, rng):
+        H, kp0, kp1, n_out = make_h_problem(rng)
+        res = ransac_homography(
+            jnp.asarray(kp0), jnp.asarray(kp1), jnp.ones(len(kp0), bool),
+            jax.random.PRNGKey(0), th=3.0,
+        )
+        assert bool(res.success)
+        err = homography_corner_error(
+            res.model[None], jnp.asarray(H[None], jnp.float32),
+            jnp.asarray([[640.0, 480.0]]),
+        )
+        assert float(err[0]) < 2.0, float(err[0])
+        inl = np.asarray(res.inliers)
+        assert inl[n_out:].mean() > 0.9  # finds the true inliers
+        assert inl[:n_out].mean() < 0.1  # rejects the outliers
+
+    def test_estimator_interface_and_opencv_agree(self, rng):
+        H, kp0, kp1, n_out = make_h_problem(rng)
+        data = {"m_kpts0": kp0, "m_kpts1": kp1}
+        ours = load_estimator("homography", "jax_ransac")({"ransac_th": 3.0})(data)
+        cv = load_estimator("homography", "opencv")({"ransac_th": 3.0})(data)
+        assert bool(ours["success"]) and bool(cv["success"])
+        size = jnp.asarray([[640.0, 480.0]])
+        H_gt = jnp.asarray(H[None], jnp.float32)
+        err_ours = float(homography_corner_error(ours["M_0to1"][None], H_gt, size)[0])
+        err_cv = float(
+            homography_corner_error(jnp.asarray(cv["M_0to1"][None]), H_gt, size)[0]
+        )
+        assert err_ours < max(2.0, 2 * err_cv + 0.5), (err_ours, err_cv)
+
+    def test_vmapped_pairs(self, rng):
+        problems = [make_h_problem(rng, n=128) for _ in range(4)]
+        kp0 = jnp.asarray(np.stack([p[1] for p in problems]))
+        kp1 = jnp.asarray(np.stack([p[2] for p in problems]))
+        valid = jnp.ones(kp0.shape[:2], bool)
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        fn = jax.jit(
+            jax.vmap(lambda a, b, v, k: ransac_homography(a, b, v, k, th=3.0))
+        )
+        res = fn(kp0, kp1, valid, keys)
+        assert res.model.shape == (4, 3, 3)
+        for i, (H, *_rest) in enumerate(problems):
+            err = homography_corner_error(
+                res.model[i][None], jnp.asarray(H[None], jnp.float32),
+                jnp.asarray([[640.0, 480.0]]),
+            )
+            assert float(err[0]) < 3.0
+
+    def test_degenerate_input_no_nan(self, rng):
+        # all points identical -> degenerate; must not produce NaN or crash
+        kp = np.ones((32, 2), np.float32) * 100
+        res = ransac_homography(
+            jnp.asarray(kp), jnp.asarray(kp), jnp.ones(32, bool),
+            jax.random.PRNGKey(0), th=3.0,
+        )
+        assert np.all(np.isfinite(np.asarray(res.model)))
+
+
+class TestRelativePoseRansac:
+    def test_recovers_pose_with_outliers(self, rng):
+        cam, T, kp0, kp1, ok = make_pose_problem(rng)
+        p0n = np.asarray(cam.normalize(jnp.asarray(kp0[None])))[0]
+        p1n = np.asarray(cam.normalize(jnp.asarray(kp1[None])))[0]
+        res = ransac_relative_pose(
+            jnp.asarray(p0n), jnp.asarray(p1n), jnp.asarray(ok),
+            jax.random.PRNGKey(0), th=2.0 / 600.0,
+        )
+        assert bool(res.success)
+        t_err, r_err = relative_pose_error(T, res.R, res.t)
+        assert float(r_err) < 1.5, float(r_err)
+        assert float(t_err) < 3.0, float(t_err)
+
+    def test_estimator_interface(self, rng):
+        cam, T, kp0, kp1, ok = make_pose_problem(rng)
+        est = load_estimator("relative_pose", "jax_ransac")({"ransac_th": 2.0})
+        out = est(
+            {"m_kpts0": kp0, "m_kpts1": kp1, "camera0": cam, "camera1": cam,
+             "match_mask": ok}
+        )
+        assert bool(out["success"])
+        t_err, r_err = relative_pose_error(T, out["M_0to1"].R, out["M_0to1"].t)
+        assert float(r_err) < 1.5 and float(t_err) < 3.0
+
+    def test_against_opencv(self, rng):
+        cam, T, kp0, kp1, ok = make_pose_problem(rng, outlier_frac=0.3)
+        data = {"m_kpts0": kp0, "m_kpts1": kp1, "camera0": cam, "camera1": cam,
+                "match_mask": ok}
+        ours = load_estimator("relative_pose", "jax_ransac")({"ransac_th": 1.0})(data)
+        cv = load_estimator("relative_pose", "opencv")({"ransac_th": 1.0})(data)
+        t_o, r_o = relative_pose_error(T, ours["M_0to1"].R, ours["M_0to1"].t)
+        t_c, r_c = relative_pose_error(T, cv["M_0to1"].R, cv["M_0to1"].t)
+        # ours should be in the same accuracy class as OpenCV
+        assert float(r_o) < max(1.5, 2 * float(r_c) + 0.5)
+        assert float(t_o) < max(3.0, 2 * float(t_c) + 1.0)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v", "-x"])
