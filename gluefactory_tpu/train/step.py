@@ -1,0 +1,100 @@
+"""The sharded training step.
+
+Counterpart of the reference's iteration core (train.py:420-475): forward,
+loss, backward, NaN veto, clipping, optimizer update — but as ONE jit-compiled
+SPMD program over the device mesh:
+
+  - batch sharded over the "data" axis, params/opt-state replicated; XLA
+    inserts the gradient all-reduce over ICI (replacing DDP/NCCL);
+  - the NaN step veto is a jnp.isfinite all-reduce folded into the same
+    program (reference does a separate dist.all_reduce(PRODUCT),
+    train.py:443-447);
+  - gradient clipping by global norm with error-free skip semantics
+    (reference clip_grad_norm_(error_if_nonfinite=True) + skip,
+    train.py:461-472).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any  # extractor BN stats etc. ({} if none)
+    opt_state: Any
+
+
+def make_optimizer(conf) -> optax.GradientTransformation:
+    """Optimizer per train conf (reference train.py:317-343 semantics:
+    adam + lr schedule + grad clip)."""
+    lr = conf.get("lr", 1e-4)
+    schedule_conf = conf.get("lr_schedule", {"type": None})
+    stype = schedule_conf.get("type")
+    if stype == "exp":
+        # exponential decay after lr_schedule.start iters (reference
+        # configs/superpoint+lightglue_homography.yaml semantics)
+        start = schedule_conf.get("start", 0)
+        exp_div_10 = schedule_conf.get("exp_div_10", 1e5)
+        schedule = lambda i: lr * jnp.power(10.0, -jnp.maximum(i - start, 0) / exp_div_10)
+    elif stype == "cosine":
+        schedule = optax.cosine_decay_schedule(lr, schedule_conf.get("steps", 100_000))
+    else:
+        schedule = lr
+    tx = optax.chain(
+        optax.clip_by_global_norm(conf.get("grad_clip", 10.0)),
+        optax.adam(schedule),
+    )
+    return tx
+
+
+def make_train_step(model, tx: optax.GradientTransformation):
+    """Build the jittable train step for a TwoViewPipeline-style model.
+
+    The returned function is pure and shape-static: jit it with batch sharded
+    over the mesh and state replicated. Returns (state, losses_dict).
+    """
+
+    def train_step(state: TrainState, batch: dict):
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            pred = model.apply(variables, batch)
+            losses, _ = model.apply(variables, pred, batch, method="loss")
+            return jnp.mean(losses["total"]), losses
+
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        # global NaN/Inf veto: any non-finite grad or loss anywhere on the
+        # mesh skips the update everywhere (params stay in lockstep).
+        leaves = jax.tree.leaves(grads)
+        finite = jnp.all(
+            jnp.stack([jnp.all(jnp.isfinite(g)) for g in leaves] + [jnp.isfinite(loss)])
+        )
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(finite, a, b), new, old
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=keep(new_params, state.params),
+            batch_stats=state.batch_stats,
+            opt_state=keep(new_opt_state, state.opt_state),
+        )
+        losses = {k: jnp.mean(v) for k, v in losses.items()}
+        losses["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+        return new_state, losses
+
+    return train_step
+
+
+__all__ = ["TrainState", "make_train_step", "make_optimizer"]

@@ -1,0 +1,253 @@
+"""Training runtime.
+
+Counterpart of reference gluefactory/train.py:191-627 redesigned for
+single-controller JAX SPMD:
+
+  - ONE process drives the whole mesh (no torch.multiprocessing spawn /
+    NCCL init, reference :241-246,691-700); the batch is sharded over the
+    "data" axis and XLA handles gradient reduction.
+  - The jitted train step folds in loss, backward, NaN veto, clipping and the
+    optimizer update (train/step.py).
+  - Validation with streaming mean/median metrics (reference :84-127), best
+    checkpoint tracking by `train.best_key`, periodic + end-of-epoch + SIGINT
+    checkpointing (reference :290-298,556-625).
+"""
+
+from __future__ import annotations
+
+import signal
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import logger
+from ..datasets import get_dataset
+from ..models import get_model
+from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..utils.config import FrozenConfig, merge, save_yaml
+from ..utils.experiments import (
+    get_last_checkpoint,
+    load_checkpoint,
+    save_experiment,
+)
+from ..utils.tools import AverageMetric, MedianMetric, set_seed
+from .step import TrainState, make_optimizer, make_train_step
+
+default_train_conf = {
+    "seed": 0,
+    "epochs": 1,
+    "optimizer": "adam",
+    "lr": 1e-4,
+    "lr_schedule": {"type": None, "start": 0, "exp_div_10": 1e5},
+    "grad_clip": 10.0,
+    "eval_every_iter": 1000,
+    "save_every_iter": 5000,
+    "log_every_iter": 100,
+    "keep_last_checkpoints": 5,
+    "best_key": "loss/total",
+    "overfit": False,
+    "median_metrics": [],
+}
+
+
+def batch_to_device(batch):
+    """numpy -> jnp leaves, dropping non-array fields (names, paths) that
+    cannot cross the jit boundary."""
+
+    def convert(x):
+        if isinstance(x, np.ndarray):
+            if x.dtype.kind in "OUS":  # strings/objects stay on host
+                return None
+            return jnp.asarray(x)
+        if isinstance(x, (str, bytes)) or x is None:
+            return None
+        return x
+
+    def prune(tree):
+        if isinstance(tree, dict):
+            out = {k: prune(v) for k, v in tree.items()}
+            return {k: v for k, v in out.items() if v is not None}
+        if isinstance(tree, (list, tuple)):
+            vals = [prune(v) for v in tree]
+            if any(v is None for v in vals):
+                return None
+            return type(tree)(vals)
+        return convert(tree)
+
+    return prune(batch)
+
+
+class Trainer:
+    def __init__(self, conf, experiment: str, output_dir: Path | None = None):
+        self.conf = FrozenConfig(
+            merge({"train": default_train_conf}, conf)
+        )
+        self.experiment = experiment
+        self.output_dir = output_dir
+        self.mesh = make_mesh()
+        self.stop_requested = False
+
+    # ------------------------------------------------------------------ setup
+    def build(self, restore: bool = False):
+        conf = self.conf
+        set_seed(conf.train.seed)
+        self.dataset = get_dataset(conf.data.name)(dict(conf.data))
+        self.model = get_model(conf.model.name).from_conf(dict(conf.model))
+
+        init_loader = self.dataset.get_data_loader("train", epoch=0)
+        first_batch = batch_to_device(next(iter(init_loader)))
+        variables = self.model.init(jax.random.PRNGKey(conf.train.seed), first_batch)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+        self.tx = make_optimizer(dict(conf.train))
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        self.start_epoch = 0
+        self.best_eval = None
+        if restore:
+            path = get_last_checkpoint(self.experiment)
+            state_np = jax.tree.map(np.asarray, state)
+            restored, meta = load_checkpoint(path, target=state_np)
+            state = restored
+            self.start_epoch = int(meta["epoch"]) + 1
+            self.best_eval = meta.get("best_eval")
+            logger.info("Restored checkpoint %s (epoch %d)", path, self.start_epoch)
+
+        repl = replicated(self.mesh)
+        self.state = jax.device_put(state, repl)
+        step_fn = make_train_step(self.model, self.tx)
+        self.train_step = jax.jit(step_fn, out_shardings=(repl, repl), donate_argnums=0)
+
+        self.eval_fn = jax.jit(self._eval_step)
+        return first_batch
+
+    def _eval_step(self, state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        pred = self.model.apply(variables, batch)
+        losses, metrics = self.model.apply(variables, pred, batch, method="loss")
+        return losses, metrics
+
+    # ------------------------------------------------------------- validation
+    def do_evaluation(self, epoch: int, it: int) -> dict:
+        conf = self.conf.train
+        aggs = defaultdict(AverageMetric)
+        medians = {k: MedianMetric() for k in conf.median_metrics}
+        loader = self.dataset.get_data_loader("val", epoch=epoch)
+        count = 0
+        for batch in loader:
+            batch = shard_batch(batch_to_device(batch), self.mesh)
+            losses, metrics = self.eval_fn(self.state, batch)
+            for k, v in {**losses, **metrics}.items():
+                arr = np.asarray(v).reshape(-1)
+                aggs[f"loss/{k}" if k in losses else k].update(arr)
+                if k in medians:
+                    medians[k].update(arr)
+            count += 1
+        results = {k: m.compute() for k, m in aggs.items()}
+        results.update({f"{k}_median": m.compute() for k, m in medians.items()})
+        logger.info(
+            "[Validation epoch %d iter %d] %s",
+            epoch, it,
+            {k: round(float(v), 4) for k, v in results.items() if _isnum(v)},
+        )
+        return results
+
+    # ------------------------------------------------------------------ train
+    def train(self):
+        conf = self.conf.train
+        if self.output_dir:
+            self.output_dir.mkdir(parents=True, exist_ok=True)
+            save_yaml(merge({}, self.conf), self.output_dir / "config.yaml")
+
+        def on_sigint(signum, frame):
+            if self.stop_requested:
+                raise KeyboardInterrupt
+            logger.info("SIGINT: finishing iteration, saving, then exiting.")
+            self.stop_requested = True
+
+        old_handler = signal.signal(signal.SIGINT, on_sigint)
+        it_total = int(self.state.step)
+        try:
+            for epoch in range(self.start_epoch, conf.epochs):
+                # per-epoch dataset resampling hook (reference train.py:407-419)
+                if hasattr(self.dataset, "sample_new_items"):
+                    self.dataset.sample_new_items(conf.seed + epoch)
+                if conf.overfit:
+                    loader = self.dataset.get_overfit_loader("train")
+                else:
+                    loader = self.dataset.get_data_loader(
+                        "train", epoch=epoch, shuffle=True
+                    )
+                t_last = time.perf_counter()
+                for batch in loader:
+                    batch = shard_batch(batch_to_device(batch), self.mesh)
+                    self.state, losses = self.train_step(self.state, batch)
+                    it_total += 1
+
+                    if it_total % conf.log_every_iter == 0:
+                        total = float(losses["total"])
+                        dt = time.perf_counter() - t_last
+                        t_last = time.perf_counter()
+                        logger.info(
+                            "[E %d | it %d] loss %.4f (%.2f it/s) %s",
+                            epoch, it_total, total,
+                            conf.log_every_iter / max(dt, 1e-6),
+                            {k: round(float(v), 3) for k, v in losses.items()
+                             if k != "total"},
+                        )
+                    if conf.eval_every_iter > 0 and it_total % conf.eval_every_iter == 0:
+                        self._validate_and_save(epoch, it_total)
+                    if conf.save_every_iter > 0 and it_total % conf.save_every_iter == 0:
+                        self._save(epoch, it_total)
+                    if self.stop_requested:
+                        self._save(epoch, it_total, interrupted=True)
+                        return self.state
+                results = self._validate_and_save(epoch, it_total)
+                self._save(epoch, it_total, results=results)
+        finally:
+            signal.signal(signal.SIGINT, old_handler)
+        return self.state
+
+    def _validate_and_save(self, epoch, it_total):
+        results = self.do_evaluation(epoch, it_total)
+        key = self.conf.train.best_key
+        if key in results and _isnum(results[key]):
+            val = float(results[key])
+            if self.best_eval is None or val < self.best_eval:
+                self.best_eval = val
+                save_experiment(
+                    self.experiment, self.state, merge({}, self.conf), epoch,
+                    it_total, results=results, best_eval=self.best_eval,
+                    is_best=True, num_keep=self.conf.train.keep_last_checkpoints,
+                )
+                logger.info("New best checkpoint (%s=%.4f)", key, val)
+        return results
+
+    def _save(self, epoch, it_total, results=None, interrupted=False):
+        save_experiment(
+            self.experiment, self.state, merge({}, self.conf), epoch, it_total,
+            results=results, best_eval=self.best_eval,
+            num_keep=self.conf.train.keep_last_checkpoints,
+        )
+
+
+def _isnum(v):
+    try:
+        float(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+__all__ = ["Trainer", "default_train_conf", "batch_to_device"]
