@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from ..base_estimator import BaseEstimator
-from ..ransac import ransac_homography
+from ..ransac import ransac_homography_jit
 
 
 class JaxRansacHomography(BaseEstimator):
@@ -28,21 +28,37 @@ class JaxRansacHomography(BaseEstimator):
         valid = data.get("match_mask")
         if valid is None:
             valid = jnp.ones(kpts0.shape[0], bool)
+        n = kpts0.shape[0]
+        kpts0, kpts1, valid = pad_to_bucket(kpts0, kpts1, valid)
         key = data.get("rng", jax.random.PRNGKey(self.conf.options.seed))
-        result = ransac_homography(
+        result = ransac_homography_jit(
             kpts0,
             kpts1,
             valid,
             key,
-            th=float(self.conf.ransac_th),
+            th=jnp.float32(self.conf.ransac_th),
             num_hypotheses=int(self.conf.options.num_hypotheses),
             refine_iters=int(self.conf.options.refine_iters),
         )
         return {
             "success": result.success,
             "M_0to1": result.model,
-            "inliers": result.inliers,
+            "inliers": result.inliers[:n],
         }
+
+
+def pad_to_bucket(kpts0, kpts1, valid, bucket: int = 256):
+    """Pad match count to a multiple of `bucket` so repeated estimator calls
+    with varying match counts reuse one compiled program."""
+    n = kpts0.shape[0]
+    n_pad = -(-max(n, 1) // bucket) * bucket
+    if n_pad == n:
+        return kpts0, kpts1, valid
+    pad = n_pad - n
+    kpts0 = jnp.pad(kpts0, ((0, pad), (0, 0)))
+    kpts1 = jnp.pad(kpts1, ((0, pad), (0, 0)))
+    valid = jnp.pad(valid, (0, pad))
+    return kpts0, kpts1, valid
 
 
 __main_estimator__ = JaxRansacHomography

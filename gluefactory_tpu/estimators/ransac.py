@@ -283,8 +283,20 @@ def ransac_relative_pose(
     )
 
 
+# jitted entries: th is traced (threshold sweeps reuse one program),
+# hypothesis counts / refine iters are static.
+ransac_homography_jit = jax.jit(
+    ransac_homography, static_argnames=("num_hypotheses", "refine_iters")
+)
+ransac_relative_pose_jit = jax.jit(
+    ransac_relative_pose, static_argnames=("num_hypotheses", "refine_iters")
+)
+
+
 __all__ = [
     "ransac_homography",
+    "ransac_homography_jit",
+    "ransac_relative_pose_jit",
     "ransac_relative_pose",
     "sample_minimal_indices",
     "homography_residuals",

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ...geometry.wrappers import Pose
 from ..base_estimator import BaseEstimator
-from ..ransac import ransac_relative_pose
+from ..ransac import ransac_relative_pose_jit
 
 
 class JaxRansacRelativePose(BaseEstimator):
@@ -35,12 +35,16 @@ class JaxRansacRelativePose(BaseEstimator):
             valid = jnp.ones(kpts0.shape[0], bool)
         key = data.get("rng", jax.random.PRNGKey(self.conf.options.seed))
 
+        n = kpts0.shape[0]
+        from ..homography.jax_ransac import pad_to_bucket
+
+        kpts0, kpts1, valid = pad_to_bucket(kpts0, kpts1, valid)
         p0n = cam0.normalize(kpts0[None])[0]
         p1n = cam1.normalize(kpts1[None])[0]
         f_mean = (jnp.mean(cam0.f) + jnp.mean(cam1.f)) / 2.0
         th_norm = float(self.conf.ransac_th) / f_mean
 
-        result = ransac_relative_pose(
+        result = ransac_relative_pose_jit(
             p0n,
             p1n,
             valid,
@@ -53,7 +57,7 @@ class JaxRansacRelativePose(BaseEstimator):
         return {
             "success": result.success,
             "M_0to1": Pose.from_Rt(result.R, t),
-            "inliers": result.inliers,
+            "inliers": result.inliers[:n],
         }
 
 
