@@ -173,9 +173,60 @@ def gt_matches_from_pose_depth(
     }
 
 
+def gt_line_matches_from_homography(
+    lines0, lines1, H, pos_th: float = 5.0, neg_th: float = 10.0,
+    valid0=None, valid1=None,
+):
+    """GT line matches by endpoint warping.
+
+    The reference labels lines with sampled points + Hungarian assignment on
+    CPU (gt_generation.py:207-406, scipy linear_sum_assignment). TPU
+    re-design: the line-to-line distance is the direction-min mean endpoint
+    symmetric transfer distance, and assignment is mutual-min + threshold —
+    the same scheme as points, fully batched and jit-able. lines: (B, L, 2, 2).
+    """
+    b, L0 = lines0.shape[:2]
+    L1 = lines1.shape[1]
+    ep0_1 = warp_points(lines0.reshape(b, -1, 2), H).reshape(b, L0, 2, 2)
+    ep1_0 = warp_points(lines1.reshape(b, -1, 2), H, inverse=True).reshape(b, L1, 2, 2)
+
+    def line_dist(a, bl):
+        # a: (..., La, 2, 2), b: (..., Lb, 2, 2) -> (..., La, Lb)
+        d_same = (
+            jnp.linalg.norm(a[..., :, None, 0, :] - bl[..., None, :, 0, :], axis=-1)
+            + jnp.linalg.norm(a[..., :, None, 1, :] - bl[..., None, :, 1, :], axis=-1)
+        ) / 2
+        d_flip = (
+            jnp.linalg.norm(a[..., :, None, 0, :] - bl[..., None, :, 1, :], axis=-1)
+            + jnp.linalg.norm(a[..., :, None, 1, :] - bl[..., None, :, 0, :], axis=-1)
+        ) / 2
+        return jnp.minimum(d_same, d_flip)
+
+    dist0 = line_dist(ep0_1, lines1)
+    dist1 = line_dist(lines0, ep1_0)
+    dist = jnp.maximum(dist0, dist1)
+    if valid0 is not None:
+        dist = jnp.where(valid0[..., :, None], dist, _INF)
+    if valid1 is not None:
+        dist = jnp.where(valid1[..., None, :], dist, _INF)
+
+    positive, min0, min1 = _mutual_assignment(dist**2, pos_th)
+    negative0 = jnp.min(dist0, axis=-1) > neg_th
+    negative1 = jnp.min(dist1, axis=-2) > neg_th
+    m0, m1 = _pack_matches(positive, min0, min1, negative0, negative1, valid0, valid1)
+    return {
+        "line_assignment": positive,
+        "line_matches0": m0,
+        "line_matches1": m1,
+        "line_matching_scores0": (m0 > -1).astype(jnp.float32),
+        "line_matching_scores1": (m1 > -1).astype(jnp.float32),
+    }
+
+
 __all__ = [
     "IGNORE_FEATURE",
     "UNMATCHED_FEATURE",
     "gt_matches_from_homography",
     "gt_matches_from_pose_depth",
+    "gt_line_matches_from_homography",
 ]

@@ -136,6 +136,26 @@ def cross_attention_bidirectional(
     return m0, m1
 
 
+def masked_attention(q, k, v, mask_q=None, mask_k=None, impl: str = "xla"):
+    """General attention with independent query/key validity masks
+    (cross-set attention where the two sets have different padding)."""
+    if impl == "pallas":
+        from .pallas_attention import fused_attention
+
+        return fused_attention(q, k, v, mask_q, mask_k)
+    attn_mask = None
+    if mask_q is not None or mask_k is not None:
+        b, _, nq, _ = q.shape
+        nk = k.shape[2]
+        mq = jnp.ones((b, nq), bool) if mask_q is None else mask_q
+        mk = jnp.ones((b, nk), bool) if mask_k is None else mask_k
+        attn_mask = mq[:, None, :, None] & mk[:, None, None, :]
+    out = _sdpa(q, k, v, attn_mask)
+    if mask_q is not None:
+        out = out * mask_q[:, None, :, None]
+    return out
+
+
 @partial(jax.jit, static_argnames=())
 def reference_self_attention(q, k, v, mask=None):
     """Jitted XLA reference used by Pallas kernel tests."""
