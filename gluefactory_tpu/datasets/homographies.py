@@ -19,7 +19,7 @@ from pathlib import Path
 import cv2
 import numpy as np
 
-from ..geometry.homography import sample_homography_corners
+from ..geometry.homography import sample_homography_corners, warp_points_np
 from ..settings import DATA_PATH
 from .augmentations import augmentations
 from .base_dataset import BaseDataset
@@ -90,6 +90,31 @@ class _HomographySplit:
         data1, H1 = view(1.0, photometric=True)
         H_pair = (H1 @ np.linalg.inv(H0)).astype(np.float32)
 
+        if conf.features.do:
+            # cached-feature mode (reference homographies.py:175-207 /
+            # CacheLoader): detect once on the source image, then per view
+            # warp keypoints by that view's homography and reuse descriptors.
+            feats = self.parent.get_features(self.names[idx], img)
+            for d, H in ((data0, H0), (data1, H1)):
+                kpts = warp_points_np(feats["keypoints"], H)
+                inside = (
+                    (kpts[:, 0] >= 0)
+                    & (kpts[:, 0] < ps[0])
+                    & (kpts[:, 1] >= 0)
+                    & (kpts[:, 1] < ps[1])
+                )
+                mask = feats["keypoint_mask"] & inside
+                d["cache"] = {
+                    "keypoints": kpts.astype(np.float32),
+                    "keypoint_scores": np.where(
+                        mask, feats["keypoint_scores"], 0.0
+                    ).astype(np.float32),
+                    "descriptors": feats["descriptors"],
+                    "keypoint_mask": mask,
+                }
+                if not conf.features.keep_images:
+                    d.pop("image")
+
         sample = {
             "name": f"{self.names[idx]}",
             "idx": idx,
@@ -126,10 +151,20 @@ class HomographyDataset(BaseDataset):
             "min_convexity": 0.05,
         },
         "photometric": {"name": "lg", "p": 0.75},
+        # cached-feature mode: extract once per source image, warp keypoints
+        "features": {
+            "do": False,
+            "name": "sift",
+            "max_num_keypoints": 512,
+            "keep_images": False,
+            "conf": {},
+        },
     }
 
     def _init(self, conf):
         self.photo_aug = augmentations[conf.photometric.name]()
+        self._feature_cache: dict = {}
+        self._extractor = None
         if conf.synthetic.do:
             pool = int(conf.synthetic.pool)
             self.image_names = [f"synthetic/{i:05d}" for i in range(pool)]
@@ -151,10 +186,21 @@ class HomographyDataset(BaseDataset):
         n_train, n_val = int(conf.train_size), int(conf.val_size)
         rng = np.random.RandomState(conf.seed)
         order = rng.permutation(len(self.image_names))
-        self.splits = {
-            "train": [self.image_names[i] for i in order[:n_train]],
-            "val": [self.image_names[i] for i in order[n_train : n_train + n_val]],
-        }
+        n_src = len(self.image_names)
+        if conf.synthetic.do and n_train + n_val > n_src:
+            # oversample the pool: every index draws fresh random warps, so
+            # repeated source images still yield distinct training pairs
+            train_names = [
+                self.image_names[order[i % max(n_src - n_val, 1)]]
+                for i in range(n_train)
+            ]
+            val_names = [self.image_names[i] for i in order[n_src - n_val :]]
+            self.splits = {"train": train_names, "val": val_names}
+        else:
+            self.splits = {
+                "train": [self.image_names[i] for i in order[:n_train]],
+                "val": [self.image_names[i] for i in order[n_train : n_train + n_val]],
+            }
         self.splits["test"] = self.splits["val"]
 
     def read_image(self, name: str, rng) -> np.ndarray:
@@ -175,6 +221,27 @@ class HomographyDataset(BaseDataset):
         else:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         return img
+
+    def get_features(self, name: str, img: np.ndarray) -> dict:
+        """Detect-once feature cache for the source image (host)."""
+        if name in self._feature_cache:
+            return self._feature_cache[name]
+        conf = self.conf.features
+        if self._extractor is None:
+            from ..models import get_model
+
+            self._extractor = get_model(conf.name).from_conf(
+                {"max_num_keypoints": conf.max_num_keypoints, **dict(conf.conf)}
+            )
+        pred = self._extractor.apply({}, {"image": img[None]})
+        feats = {
+            "keypoints": np.asarray(pred["keypoints"][0]),
+            "keypoint_scores": np.asarray(pred["keypoint_scores"][0]),
+            "descriptors": np.asarray(pred["descriptors"][0]),
+            "keypoint_mask": np.asarray(pred["keypoint_mask"][0]),
+        }
+        self._feature_cache[name] = feats
+        return feats
 
     def get_dataset(self, split: str):
         return _HomographySplit(self, self.splits[split], split)

@@ -66,32 +66,19 @@ class HomographyBenchmarkPipeline(EvalPipeline):
         pred_file = Path(experiment_dir) / "predictions.h5"
         if pred_file.exists() and not overwrite:
             return pred_file
-        import jax.numpy as jnp
-
-        if model is None:
-            model = get_model(self.conf.model.get("name", "two_view_pipeline")).from_conf(
-                dict(self.conf.model)
-            )
         loader = self.get_dataloader()
+        from .export_helper import make_export_apply_fn
 
-        jitted = {"fn": None}
-        variables = self._variables
-
-        from ..train.trainer import batch_to_device
-
-        def apply_fn(batch):
-            nonlocal variables
-            dev = batch_to_device(batch)
-            if variables is None:
-                variables = model.init(jax.random.PRNGKey(0), dev)
-            if jitted["fn"] is None:
-                jitted["fn"] = jax.jit(lambda v, d: model.apply(v, d))
-            return jitted["fn"](variables, dev)
+        if model is not None:
+            raise NotImplementedError("external model override not wired yet")
+        apply_fn, state = make_export_apply_fn(dict(self.conf.model))
+        if self._variables is not None:
+            state["variables"] = self._variables
 
         export_predictions(
             tqdm(loader), apply_fn, pred_file, keys=self.export_keys, as_half=False
         )
-        self._variables = variables
+        self._variables = state["variables"]
         return pred_file
 
     def run_eval(self, loader, pred_file):

@@ -94,9 +94,16 @@ class SIFT(BaseModel):
             jax.ShapeDtypeStruct((b, k, 128), jnp.float32),
             jax.ShapeDtypeStruct((b, k), jnp.bool_),
         )
-        kpts, scores, scales, oris, descs, mask = jax.pure_callback(
-            self._host_extract, out_shapes, image, vmap_method="sequential"
-        )
+        if isinstance(image, jax.core.Tracer):
+            # under jit: host callback (NOT supported by the axon TPU relay -
+            # use the cached-feature workflow there; works on cpu/gpu/tpu-vm)
+            kpts, scores, scales, oris, descs, mask = jax.pure_callback(
+                self._host_extract, out_shapes, image, vmap_method="sequential"
+            )
+        else:  # eager host path: plain numpy, no backend involvement
+            kpts, scores, scales, oris, descs, mask = jax.tree.map(
+                jnp.asarray, self._host_extract(np.asarray(image))
+            )
         return {
             "keypoints": kpts,
             "keypoint_scores": scores,

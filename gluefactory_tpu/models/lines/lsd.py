@@ -70,9 +70,15 @@ class LSD(BaseModel):
             jax.ShapeDtypeStruct((b, L), jnp.float32),
             jax.ShapeDtypeStruct((b, L), jnp.bool_),
         )
-        lines, scores, mask = jax.pure_callback(
-            self._host_detect, out_shapes, image, vmap_method="sequential"
-        )
+        if isinstance(image, jax.core.Tracer):
+            # under jit: host callback (NOT supported by the axon TPU relay)
+            lines, scores, mask = jax.pure_callback(
+                self._host_detect, out_shapes, image, vmap_method="sequential"
+            )
+        else:  # eager host path: plain numpy, no backend involvement
+            lines, scores, mask = jax.tree.map(
+                jnp.asarray, self._host_detect(np.asarray(image))
+            )
         return {"lines": lines, "line_scores": scores, "line_mask": mask}
 
     def loss(self, pred, data):

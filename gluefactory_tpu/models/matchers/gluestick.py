@@ -107,7 +107,7 @@ class _AttnPropagation(nn.Module):
         q = heads_of(nn.Dense(self.dim)(x))
         k = heads_of(nn.Dense(self.dim)(source))
         v = heads_of(nn.Dense(self.dim)(source))
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"  # pallas kernel lacks a VJP; XLA fuses fine here
         msg = masked_attention(q, k, v, mask_x, mask_s, impl=impl)
         b, _, n, _ = msg.shape
         msg = msg.transpose(0, 2, 1, 3).reshape(b, n, self.dim)

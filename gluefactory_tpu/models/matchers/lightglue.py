@@ -181,6 +181,16 @@ class LightGlue(BaseModel):
         ).astype(np.float32)
 
     # ------------------------------------------------------------------ utils
+    def _attn_impl(self) -> str:
+        """Pallas fused attention for inference on TPU; XLA otherwise.
+        The Pallas kernel has no VJP yet, so the training path always takes
+        the XLA implementation (fused well by XLA at these sizes)."""
+        conf = self.conf
+        use_pallas = (
+            conf.flash and jax.default_backend() == "tpu" and not conf.is_training
+        )
+        return "pallas" if use_pallas else "xla"
+
     def _slice(self, stack, i):
         """Index the layer axis of a (w, b) stack with a static or traced i."""
         w, b = stack
@@ -208,8 +218,7 @@ class LightGlue(BaseModel):
         q, k, v = _heads(q, h), _heads(k, h), _heads(v, h)
         q = apply_rotary(q, encoding)
         k = apply_rotary(k, encoding)
-        impl = "pallas" if (conf.flash and jax.default_backend() == "tpu") else "xla"
-        context = self_attention(q, k, v, mask, impl=impl)
+        context = self_attention(q, k, v, mask, impl=self._attn_impl())
         w, b = self._slice(self.self_out, i)
         message = _dense(_unheads(context), w, b)
         return x + self._ffn(x, message, i, self.self_ffn1, self.self_ln, self.self_ffn2)
@@ -232,8 +241,9 @@ class LightGlue(BaseModel):
         qk1 = _heads(_dense(x1, wqk, bqk), h)
         v0 = _heads(_dense(x0, wv, bv), h)
         v1 = _heads(_dense(x1, wv, bv), h)
-        impl = "pallas" if (conf.flash and jax.default_backend() == "tpu") else "xla"
-        m0, m1 = cross_attention_bidirectional(qk0, qk1, v0, v1, mask0, mask1, impl=impl)
+        m0, m1 = cross_attention_bidirectional(
+            qk0, qk1, v0, v1, mask0, mask1, impl=self._attn_impl()
+        )
         wo, bo = self._slice(self.cross_out, i)
         m0 = _dense(_unheads(m0), wo, bo)
         m1 = _dense(_unheads(m1), wo, bo)
