@@ -94,9 +94,15 @@ class _HomographySplit:
             # cached-feature mode (reference homographies.py:175-207 /
             # CacheLoader): detect once on the source image, then per view
             # warp keypoints by that view's homography and reuse descriptors.
+            # Per-view perturbations (descriptor noise, sub-px jitter, random
+            # dropout) break the identical-descriptor degeneracy so training
+            # transfers to independently-extracted features.
             feats = self.parent.get_features(self.names[idx], img)
+            fc = conf.features
             for d, H in ((data0, H0), (data1, H1)):
                 kpts = warp_points_np(feats["keypoints"], H)
+                if fc.jitter > 0:
+                    kpts = kpts + rng.randn(*kpts.shape) * fc.jitter
                 inside = (
                     (kpts[:, 0] >= 0)
                     & (kpts[:, 0] < ps[0])
@@ -104,12 +110,20 @@ class _HomographySplit:
                     & (kpts[:, 1] < ps[1])
                 )
                 mask = feats["keypoint_mask"] & inside
+                if fc.dropout > 0:
+                    mask = mask & (rng.rand(len(mask)) > fc.dropout)
+                desc = feats["descriptors"]
+                if fc.desc_noise > 0:
+                    desc = desc + rng.randn(*desc.shape).astype(np.float32) * fc.desc_noise
+                    desc = desc / np.maximum(
+                        np.linalg.norm(desc, axis=-1, keepdims=True), 1e-8
+                    )
                 d["cache"] = {
                     "keypoints": kpts.astype(np.float32),
                     "keypoint_scores": np.where(
                         mask, feats["keypoint_scores"], 0.0
                     ).astype(np.float32),
-                    "descriptors": feats["descriptors"],
+                    "descriptors": desc.astype(np.float32),
                     "keypoint_mask": mask,
                 }
                 if not conf.features.keep_images:
@@ -157,6 +171,9 @@ class HomographyDataset(BaseDataset):
             "name": "sift",
             "max_num_keypoints": 512,
             "keep_images": False,
+            "desc_noise": 0.05,  # per-view descriptor perturbation
+            "jitter": 0.3,  # sub-pixel keypoint jitter (px)
+            "dropout": 0.1,  # per-view random keypoint dropout
             "conf": {},
         },
     }
