@@ -214,3 +214,58 @@ __all__ = [
     "eval_relative_pose_robust",
     "eval_poses",
 ]
+
+
+# ---------------------------------------------------------------------------
+# PR / AP for GT-labeled matching (ETH3D protocol, reference eval/utils.py:227-272)
+# ---------------------------------------------------------------------------
+
+
+def get_tp_fp_pts(pred_matches, gt_matches, pred_scores, ignore_label=-2):
+    """TP/FP flags + scores + positive count for one pair
+    (reference eval/utils.py:227-245)."""
+    pred_matches = np.asarray(pred_matches)
+    gt_matches = np.asarray(gt_matches)
+    pred_scores = np.asarray(pred_scores)
+    ignore_mask = gt_matches != ignore_label
+    pred_matches, gt_matches, pred_scores = (
+        pred_matches[ignore_mask],
+        gt_matches[ignore_mask],
+        pred_scores[ignore_mask],
+    )
+    num_pos = int(np.sum(gt_matches != -1))
+    pred_positives = pred_matches != -1
+    tp = pred_matches[pred_positives] == gt_matches[pred_positives]
+    fp = pred_matches[pred_positives] != gt_matches[pred_positives]
+    scores = pred_scores[pred_positives]
+    return tp, fp, scores, num_pos
+
+
+def AP(tp, fp):
+    """Area under the interpolated PR curve (reference eval/utils.py:248-257)."""
+    recall = tp
+    precision = tp / np.maximum(tp + fp, 1e-9)
+    recall = np.concatenate(([0.0], recall, [1.0]))
+    precision = np.concatenate(([0.0], precision, [0.0]))
+    for i in range(precision.size - 1, 0, -1):
+        precision[i - 1] = max(precision[i - 1], precision[i])
+    i = np.where(recall[1:] != recall[:-1])[0]
+    return float(np.sum((recall[i + 1] - recall[i]) * precision[i + 1]))
+
+
+def aggregate_pr_results(results, suffix=""):
+    """Merge per-pair TP/FP into one global PR curve + AP
+    (reference eval/utils.py:260-272)."""
+    tp_list = np.concatenate(results["tp" + suffix], axis=0)
+    fp_list = np.concatenate(results["fp" + suffix], axis=0)
+    scores_list = np.concatenate(results["scores" + suffix], axis=0)
+    n_gt = max(results["num_pos" + suffix], 1)
+
+    out = {}
+    idx = np.argsort(scores_list)[::-1]
+    tp_vals = np.cumsum(tp_list[idx]) / n_gt
+    fp_vals = np.cumsum(fp_list[idx]) / n_gt
+    out["curve_recall" + suffix] = tp_vals
+    out["curve_precision" + suffix] = tp_vals / np.maximum(tp_vals + fp_vals, 1e-9)
+    out["AP" + suffix] = AP(tp_vals, fp_vals) * 100
+    return out
