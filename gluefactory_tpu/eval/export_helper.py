@@ -28,6 +28,7 @@ def make_export_apply_fn(model_conf: dict):
     model_conf = to_dict(model_conf)
     extractor_conf = model_conf.get("extractor") or {}
     host_extract = extractor_conf.get("name") in HOST_EXTRACTORS
+    checkpoint = model_conf.pop("checkpoint", None)
 
     state = {"variables": None, "jit_fn": None, "ext": None, "ext_vars": None}
 
@@ -58,7 +59,27 @@ def make_export_apply_fn(model_conf: dict):
                 pred_v = ext.apply(state["ext_vars"], {"image": img})
                 dev[v]["cache"] = pred_v
         if state["variables"] is None:
-            state["variables"] = pipe.init(jax.random.PRNGKey(0), dev)
+            variables = pipe.init(jax.random.PRNGKey(0), dev)
+            if checkpoint:
+                # overlay trained params from an experiment checkpoint
+                # (matcher-only training stores params under the same
+                # component names the eval pipeline uses)
+                from ..utils.experiments import get_best_checkpoint, load_checkpoint
+
+                try:
+                    path = get_best_checkpoint(checkpoint)
+                except FileNotFoundError:
+                    from ..utils.experiments import get_last_checkpoint
+
+                    path = get_last_checkpoint(checkpoint)
+                restored, _ = load_checkpoint(path)
+                trained = restored["params"]
+                params = dict(variables["params"])
+                for k in params:
+                    if k in trained:
+                        params[k] = trained[k]
+                variables = {**variables, "params": params}
+            state["variables"] = variables
         if state["jit_fn"] is None:
             state["jit_fn"] = jax.jit(lambda vars_, d: pipe.apply(vars_, d))
         return state["jit_fn"](state["variables"], dev)
