@@ -77,7 +77,9 @@ class _HomographySplit:
                 min_convexity=hconf.min_convexity,
                 rng=rng,
             )
-            warped = cv2.warpPerspective(img, H, ps).reshape(ps[1], ps[0], -1)
+            from ..native import warp_perspective
+
+            warped = warp_perspective(img, H, ps)
             if photometric and rng.rand() < conf.photometric.p:
                 warped = self.parent.photo_aug(warped, rng)
             return {
