@@ -182,13 +182,10 @@ class LightGlue(BaseModel):
 
     # ------------------------------------------------------------------ utils
     def _attn_impl(self) -> str:
-        """Pallas fused attention for inference on TPU; XLA otherwise.
-        The Pallas kernel has no VJP yet, so the training path always takes
-        the XLA implementation (fused well by XLA at these sizes)."""
+        """Pallas fused attention on TPU (forward + custom-VJP backward
+        kernels, ops/pallas_attention.py); XLA elsewhere."""
         conf = self.conf
-        use_pallas = (
-            conf.flash and jax.default_backend() == "tpu" and not conf.is_training
-        )
+        use_pallas = conf.flash and jax.default_backend() == "tpu"
         return "pallas" if use_pallas else "xla"
 
     def _slice(self, stack, i):

@@ -112,6 +112,109 @@ def _fused_attention_bhnd(
     return out[:, :nq]
 
 
+def _attention_bwd_kernel(
+    q_ref, k_ref, v_ref, maskq_ref, maskk_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, *, scale,
+):
+    """Backward: recompute p for the q-block, then
+    dv += p^T do ; dp = do v^T ; ds = p*(dp - rowsum(p*dp)) ;
+    dq = ds k * scale ; dk += ds^T q * scale.
+    dk/dv accumulate across the sequential q-block grid steps."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    mask_q = maskq_ref[0, :, 0]
+    mask_k = maskk_ref[0, 0, :]
+
+    sim = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    neg = jnp.float32(-1e9)
+    colmask = (mask_k > 0)[None, :]
+    sim = jnp.where(colmask, sim, neg)
+    rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), neg)
+    e = jnp.where(colmask, jnp.exp(sim - rowmax), 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / (denom + 1e-30)
+    p = p * (mask_q > 0)[:, None]
+    do = do * (mask_q > 0)[:, None]
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dv_ref[0] += jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True)) * scale
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dk_ref[0] += jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _fused_attention_bwd_bhnd(
+    q, k, v, mask_q, mask_k, do, block_q: int = 256, interpret: bool = False
+):
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    scale = d**-0.5
+    nq_p = _round_up(nq, block_q)
+    nk_p = _round_up(nk, 128)
+    if nq_p != nq:
+        q = jnp.pad(q, ((0, 0), (0, nq_p - nq), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, nq_p - nq), (0, 0)))
+        mask_q = jnp.pad(mask_q, ((0, 0), (0, nq_p - nq)))
+    if nk_p != nk:
+        k = jnp.pad(k, ((0, 0), (0, nk_p - nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, nk_p - nk), (0, 0)))
+        mask_k = jnp.pad(mask_k, ((0, 0), (0, nk_p - nk)))
+    mask_q3 = mask_q[:, :, None]
+    mask_k3 = mask_k[:, None, :]
+
+    grid = (bh, nq_p // block_q)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attention_bwd_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk_p, d), v.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, nk_p, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, nk_p, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, nk_p), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, nk_p, d), lambda b, i: (b, 0, 0)),  # accumulated
+            pl.BlockSpec((1, nk_p, d), lambda b, i: (b, 0, 0)),  # accumulated
+        ),
+        interpret=interpret,
+    )(q, k, v, mask_q3, mask_k3, do)
+    return dq[:, :nq], dk[:, :nk], dv[:, :nk]
+
+
+@jax.custom_vjp
 def fused_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -143,6 +246,39 @@ def fused_attention(
         qf, kf, vf, mask_q, mask_k, block_q=block_q, interpret=interpret
     )
     return out.reshape(b, h, nq, d)
+
+
+def _flatten_masks(q, k, mask_q, mask_k):
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    mq = jnp.ones((b, nq), jnp.int32) if mask_q is None else mask_q.astype(jnp.int32)
+    mk = jnp.ones((b, nk), jnp.int32) if mask_k is None else mask_k.astype(jnp.int32)
+    return jnp.repeat(mq, h, axis=0), jnp.repeat(mk, h, axis=0)
+
+
+def _fused_attention_fwd(q, k, v, mask_q, mask_k):
+    out = fused_attention(q, k, v, mask_q, mask_k)
+    return out, (q, k, v, mask_q, mask_k)
+
+
+def _fused_attention_bwd(residuals, g):
+    q, k, v, mask_q, mask_k = residuals
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    mq, mk = _flatten_masks(q, k, mask_q, mask_k)
+    interpret = jax.default_backend() != "tpu"
+    block_q = min(256, _round_up(nq, 128))
+    dq, dk, dv = _fused_attention_bwd_bhnd(
+        q.reshape(b * h, nq, d), k.reshape(b * h, nk, d), v.reshape(b * h, nk, d),
+        mq, mk, g.reshape(b * h, nq, d), block_q=block_q, interpret=interpret,
+    )
+    return (
+        dq.reshape(b, h, nq, d), dk.reshape(b, h, nk, d), dv.reshape(b, h, nk, d),
+        None, None,
+    )
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
 def fused_cross_attention(

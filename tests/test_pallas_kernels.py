@@ -77,3 +77,44 @@ class TestFusedCrossAttention:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
+
+
+class TestFusedAttentionVJP:
+    def test_gradients_match_xla(self, rng):
+        import jax
+
+        b, h, n, d = 1, 2, 96, 64
+        q = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        mask = jnp.asarray(rng.rand(b, n) > 0.25)
+
+        def loss_pallas(q, k, v):
+            return (fused_attention(q, k, v, mask, mask) ** 2).sum()
+
+        def loss_xla(q, k, v):
+            return (self_attention(q, k, v, mask, impl="xla") ** 2).sum()
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3)
+
+    def test_rectangular_and_unmasked(self, rng):
+        import jax
+
+        b, h, m, n, d = 2, 1, 80, 112, 64
+        q = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+
+        def loss_pallas(q, k, v):
+            return fused_attention(q, k, v).sum()
+
+        def loss_xla(q, k, v):
+            return self_attention(q, k, v, None, impl="xla").sum()
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3)
