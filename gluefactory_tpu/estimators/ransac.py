@@ -304,3 +304,102 @@ __all__ = [
     "RansacResult",
     "RelPoseResult",
 ]
+
+
+# --------------------------------------------------------------------------
+# hybrid point + line homography (counterpart of the reference's C++
+# homography_est backend used for GlueStick eval, SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+def line_homography_residuals(lines0, lines1, H):
+    """Perpendicular line-transfer error: warp the endpoints of l0 by H and
+    measure their distance to the infinite line of l1 (symmetrized by the
+    reverse direction). lines: (..., L, 2, 2); H: (..., 3, 3) -> (..., L)."""
+
+    def endpoint_to_line_dist(segs_w, segs_ref):
+        # segs_w endpoints vs the line equation of segs_ref
+        p0 = segs_ref[..., 0, :]
+        p1 = segs_ref[..., 1, :]
+        d = p1 - p0
+        norm = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-8)
+        nvec = jnp.stack([-d[..., 1], d[..., 0]], -1) / norm[..., None]
+        off0 = jnp.sum((segs_w[..., 0, :] - p0) * nvec, axis=-1)
+        off1 = jnp.sum((segs_w[..., 1, :] - p0) * nvec, axis=-1)
+        return (jnp.abs(off0) + jnp.abs(off1)) / 2
+
+    L = lines0.shape[-3]
+    flat0 = lines0.reshape(lines0.shape[:-3] + (2 * L, 2))
+    flat1 = lines1.reshape(lines1.shape[:-3] + (2 * L, 2))
+    w01 = warp_points(flat0, H)
+    w01 = w01.reshape(w01.shape[:-2] + (L, 2, 2))
+    w10 = warp_points(flat1, H, inverse=True)
+    w10 = w10.reshape(w10.shape[:-2] + (L, 2, 2))
+    err = 0.5 * (
+        endpoint_to_line_dist(w01, lines1) + endpoint_to_line_dist(w10, lines0)
+    )
+    return jnp.where(jnp.isfinite(err), err, 1e9)
+
+
+def ransac_homography_point_line(
+    kpts0, kpts1, valid_pts,
+    lines0, lines1, valid_lines,
+    key, th: float = 3.0, line_th: float | None = None,
+    num_hypotheses: int = 1024, refine_iters: int = 3,
+):
+    """Hybrid RANSAC: hypotheses from 4-point samples augmented with
+    line-endpoint correspondences as virtual points; MSAC scoring sums point
+    and line support; LO refits on point inliers + line endpoints of line
+    inliers. Single pair; vmap over pairs. Returns (RansacResult,
+    line_inliers)."""
+    line_th = th if line_th is None else line_th
+    L = lines0.shape[0]
+    # endpoints as virtual correspondences (direction-resolved by nearest
+    # pairing under the current best model during LO; for sampling we use
+    # the given endpoint order)
+    ep0 = lines0.reshape(2 * L, 2)
+    ep1 = lines1.reshape(2 * L, 2)
+    ep_valid = jnp.repeat(valid_lines, 2)
+    all0 = jnp.concatenate([kpts0, ep0], 0)
+    all1 = jnp.concatenate([kpts1, ep1], 0)
+    all_valid = jnp.concatenate([valid_pts, ep_valid], 0)
+
+    idx = sample_minimal_indices(key, all_valid, num_hypotheses, 4)
+    Hs = solve_homography_dlt(all0[idx], all1[idx])
+
+    pt_errs = homography_residuals(kpts0[None], kpts1[None], Hs)
+    ln_errs = line_homography_residuals(lines0[None], lines1[None], Hs)
+    scores = _msac_score(pt_errs, th, valid_pts.astype(jnp.float32)[None])
+    scores = scores + _msac_score(
+        ln_errs, line_th, valid_lines.astype(jnp.float32)[None]
+    )
+    best = jnp.argmax(scores)
+    H = Hs[best]
+
+    def refine(H, _):
+        perr = homography_residuals(kpts0, kpts1, H[None])[0]
+        lerr = line_homography_residuals(lines0, lines1, H[None])[0]
+        wp = jnp.maximum(0.0, 1.0 - (perr / th) ** 2) * valid_pts
+        wl = jnp.maximum(0.0, 1.0 - (lerr / line_th) ** 2) * valid_lines
+        w_all = jnp.concatenate([wp, jnp.repeat(wl, 2)], 0)
+        H_new = solve_homography_dlt(all0[None], all1[None], w_all[None])[0]
+        old = _msac_score(perr[None], th, valid_pts[None].astype(jnp.float32))[0] + \
+            _msac_score(lerr[None], line_th, valid_lines[None].astype(jnp.float32))[0]
+        p2 = homography_residuals(kpts0, kpts1, H_new[None])[0]
+        l2 = line_homography_residuals(lines0, lines1, H_new[None])[0]
+        new = _msac_score(p2[None], th, valid_pts[None].astype(jnp.float32))[0] + \
+            _msac_score(l2[None], line_th, valid_lines[None].astype(jnp.float32))[0]
+        H = jnp.where((new >= old) & jnp.all(jnp.isfinite(H_new)), H_new, H)
+        return H, None
+
+    H, _ = jax.lax.scan(refine, H, None, length=refine_iters)
+
+    perr = homography_residuals(kpts0, kpts1, H[None])[0]
+    lerr = line_homography_residuals(lines0, lines1, H[None])[0]
+    pt_inl = (perr < th) & valid_pts
+    ln_inl = (lerr < line_th) & valid_lines
+    success = (jnp.sum(pt_inl) + 2 * jnp.sum(ln_inl)) >= 4
+    result = RansacResult(
+        H, pt_inl, jnp.sum(pt_inl.astype(jnp.float32)) + jnp.sum(ln_inl), success
+    )
+    return result, ln_inl

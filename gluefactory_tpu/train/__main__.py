@@ -21,6 +21,7 @@ def main():
     parser.add_argument("--conf", type=str, default=None)
     parser.add_argument("--restore", action="store_true")
     parser.add_argument("--overfit", action="store_true")
+    parser.add_argument("--profile", action="store_true")
     parser.add_argument("dotlist", nargs="*")
     args = parser.parse_args()
 
@@ -33,6 +34,8 @@ def main():
     conf = merge(conf, parse_dotlist(args.dotlist))
     if args.overfit:
         conf = merge(conf, {"train": {"overfit": True}})
+    if args.profile:
+        conf = merge(conf, {"train": {"profile": True}})
 
     output_dir = Path(TRAINING_PATH) / args.experiment
     trainer = Trainer(conf, args.experiment, output_dir)

@@ -51,6 +51,12 @@ default_train_conf = {
     "best_key": "loss/total",
     "overfit": False,
     "median_metrics": [],
+    # profiling (counterpart of reference --profile, train.py:362-369):
+    # trace iterations [profile_start, profile_end) with jax.profiler into
+    # <output_dir>/profile (view with xprof/tensorboard)
+    "profile": False,
+    "profile_start": 10,
+    "profile_end": 15,
 }
 
 
@@ -191,9 +197,18 @@ class Trainer:
                     )
                 t_last = time.perf_counter()
                 for batch in loader:
+                    if conf.profile and it_total == conf.profile_start:
+                        jax.profiler.start_trace(
+                            str((self.output_dir or Path(".")) / "profile")
+                        )
                     batch = shard_batch(batch_to_device(batch), self.mesh)
                     self.state, losses = self.train_step(self.state, batch)
                     it_total += 1
+                    if conf.profile and it_total == conf.profile_end:
+                        jax.block_until_ready(losses["total"])
+                        jax.profiler.stop_trace()
+                        logger.info("Profile trace written to %s/profile",
+                                    self.output_dir)
 
                     if it_total % conf.log_every_iter == 0:
                         total = float(losses["total"])

@@ -150,3 +150,47 @@ class TestRelativePoseRansac:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
+
+
+class TestHybridPointLineRansac:
+    def test_lines_improve_sparse_points(self, rng):
+        from gluefactory_tpu.estimators.ransac import ransac_homography_point_line
+        from gluefactory_tpu.geometry.homography import warp_points_np
+
+        H, kp0, kp1, n_out = make_h_problem(rng, n=24, outlier_frac=0.5)
+        # line segments consistent with the same homography
+        L = 16
+        l0 = rng.uniform(60, 400, (L, 2, 2)).astype(np.float32)
+        l1 = warp_points_np(l0.reshape(-1, 2), H).reshape(L, 2, 2).astype(np.float32)
+        res, line_inl = jax.jit(
+            ransac_homography_point_line,
+            static_argnames=("num_hypotheses", "refine_iters"),
+        )(
+            jnp.asarray(kp0), jnp.asarray(kp1), jnp.ones(len(kp0), bool),
+            jnp.asarray(l0), jnp.asarray(l1), jnp.ones(L, bool),
+            jax.random.PRNGKey(0), th=jnp.float32(3.0), line_th=jnp.float32(3.0),
+        )
+        err = homography_corner_error(
+            res.model[None], jnp.asarray(H[None], jnp.float32),
+            jnp.asarray([[640.0, 480.0]]),
+        )
+        assert bool(res.success)
+        assert float(err[0]) < 2.0, float(err[0])
+        assert np.asarray(line_inl).mean() > 0.9
+
+    def test_estimator_interface(self, rng):
+        from gluefactory_tpu.estimators import load_estimator
+        from gluefactory_tpu.geometry.homography import warp_points_np
+
+        H, kp0, kp1, n_out = make_h_problem(rng)
+        L = 12
+        l0 = rng.uniform(60, 400, (L, 2, 2)).astype(np.float32)
+        l1 = warp_points_np(l0.reshape(-1, 2), H).reshape(L, 2, 2).astype(np.float32)
+        est = load_estimator("homography", "hybrid_pl")({"ransac_th": 3.0})
+        out = est({"m_kpts0": kp0, "m_kpts1": kp1, "m_lines0": l0, "m_lines1": l1})
+        err = homography_corner_error(
+            jnp.asarray(out["M_0to1"][None]), jnp.asarray(H[None], jnp.float32),
+            jnp.asarray([[640.0, 480.0]]),
+        )
+        assert float(err[0]) < 2.0
+        assert out["line_inliers"].shape == (12,)
