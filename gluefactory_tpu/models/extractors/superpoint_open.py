@@ -90,14 +90,19 @@ class VGGBlock(nn.Module):
     channels: int
     kernel: int = 3
     relu: bool = True
+    dtype: object = None  # compute dtype (bf16 puts the convs on the MXU fast path)
 
     @nn.compact
     def __call__(self, x, is_training: bool):
-        x = nn.Conv(self.channels, (self.kernel, self.kernel), padding="SAME")(x)
+        x = nn.Conv(
+            self.channels, (self.kernel, self.kernel), padding="SAME",
+            dtype=self.dtype,
+        )(x)
         if self.relu:
             x = nn.relu(x)
         x = nn.BatchNorm(
-            use_running_average=not is_training, epsilon=1e-3, momentum=0.9
+            use_running_average=not is_training, epsilon=1e-3, momentum=0.9,
+            dtype=self.dtype,
         )(x)
         return x
 
@@ -113,6 +118,8 @@ class SuperPoint(BaseModel):
         "channels": [64, 64, 128, 128, 256],
         "dense_outputs": False,
         "is_training": False,
+        "dtype": "bfloat16",  # conv compute dtype; heads renormalize in fp32
+        "approx_topk": True,  # lax.approx_max_k for keypoint selection on TPU
     }
     required_data_keys = ["image"]
 
@@ -129,25 +136,32 @@ class SuperPoint(BaseModel):
 
         channels = list(conf.channels)
         stride = 2 ** (len(channels) - 2)
-        x = image
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, None: None}[
+            conf.get("dtype")
+        ]
+        x = image.astype(dtype) if dtype is not None else image
         for i, c in enumerate(channels[:-1]):
-            x = VGGBlock(c)(x, is_training)
-            x = VGGBlock(c)(x, is_training)
+            x = VGGBlock(c, dtype=dtype)(x, is_training)
+            x = VGGBlock(c, dtype=dtype)(x, is_training)
             if i < len(channels) - 2:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         features = x
 
         c_last = channels[-1]
-        # descriptor head
-        dx = VGGBlock(c_last)(features, is_training)
-        dense_desc = VGGBlock(conf.descriptor_dim, kernel=1, relu=False)(dx, is_training)
+        # descriptor head (L2 norm in fp32)
+        dx = VGGBlock(c_last, dtype=dtype)(features, is_training)
+        dense_desc = VGGBlock(conf.descriptor_dim, kernel=1, relu=False, dtype=dtype)(
+            dx, is_training
+        ).astype(jnp.float32)
         dense_desc = dense_desc / jnp.maximum(
             jnp.linalg.norm(dense_desc, axis=-1, keepdims=True), 1e-8
         )
 
-        # detector head: 65-channel cell softmax -> depth-to-space
-        sx = VGGBlock(c_last)(features, is_training)
-        logits = VGGBlock(stride**2 + 1, kernel=1, relu=False)(sx, is_training)
+        # detector head: 65-channel cell softmax -> depth-to-space (fp32 softmax)
+        sx = VGGBlock(c_last, dtype=dtype)(features, is_training)
+        logits = VGGBlock(stride**2 + 1, kernel=1, relu=False, dtype=dtype)(
+            sx, is_training
+        ).astype(jnp.float32)
         scores = jax.nn.softmax(logits, axis=-1)[..., :-1]
         b, hc, wc, _ = scores.shape
         scores = scores.reshape(b, hc, wc, stride, stride)
@@ -162,10 +176,15 @@ class SuperPoint(BaseModel):
             border = border.at[pad:-pad, pad:-pad].set(True)
             scores = jnp.where(border, scores, -1.0)
 
-        # static top-k selection with validity mask
+        # static top-k selection with validity mask; approx_max_k uses the
+        # TPU-optimized partial sort (recall ~0.95 on an NMS-sparsified map,
+        # several times faster than a full sort of H*W scores)
         k = conf.max_num_keypoints
         flat = scores.reshape(b, h * w)
-        topv, topi = jax.lax.top_k(flat, k)
+        if conf.get("approx_topk") and jax.default_backend() == "tpu":
+            topv, topi = jax.lax.approx_max_k(flat, k)
+        else:
+            topv, topi = jax.lax.top_k(flat, k)
         ys = (topi // w).astype(jnp.float32)
         xs = (topi % w).astype(jnp.float32)
         keypoints = jnp.stack([xs, ys], axis=-1)
