@@ -92,7 +92,16 @@ class _HomographySplit:
         data1, H1 = view(1.0, photometric=True)
         H_pair = (H1 @ np.linalg.inv(H0)).astype(np.float32)
 
-        if conf.features.do:
+        if conf.features.do and conf.features.per_view:
+            # TRUE per-view extraction (matches the eval distribution): the
+            # extractor runs on each warped+augmented view on the host, so
+            # detection asymmetry and photometric descriptor changes are real.
+            for d in (data0, data1):
+                pred = self.parent.extract_image(d["image"])
+                d["cache"] = pred
+                if not conf.features.keep_images:
+                    d.pop("image")
+        elif conf.features.do:
             # cached-feature mode (reference homographies.py:175-207 /
             # CacheLoader): detect once on the source image, then per view
             # warp keypoints by that view's homography and reuse descriptors.
@@ -170,12 +179,14 @@ class HomographyDataset(BaseDataset):
         # cached-feature mode: extract once per source image, warp keypoints
         "features": {
             "do": False,
+            "per_view": False,  # True: extract on each warped view (slower,
+            #                     matches the eval distribution exactly)
             "name": "sift",
             "max_num_keypoints": 512,
             "keep_images": False,
-            "desc_noise": 0.05,  # per-view descriptor perturbation
-            "jitter": 0.3,  # sub-pixel keypoint jitter (px)
-            "dropout": 0.1,  # per-view random keypoint dropout
+            "desc_noise": 0.05,  # per-view descriptor perturbation (cached mode)
+            "jitter": 0.3,  # sub-pixel keypoint jitter (px, cached mode)
+            "dropout": 0.1,  # per-view random keypoint dropout (cached mode)
             "conf": {},
         },
     }
@@ -240,6 +251,32 @@ class HomographyDataset(BaseDataset):
         else:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         return img
+
+    def extract_image(self, img: np.ndarray) -> dict:
+        """Run the (host) extractor on one image -> unbatched pred dict."""
+        conf = self.conf.features
+        if self._extractor is None:
+            from ..models import get_model
+
+            self._extractor = get_model(conf.name).from_conf(
+                {"max_num_keypoints": conf.max_num_keypoints, **dict(conf.conf)}
+            )
+        if hasattr(self._extractor, "_host_extract"):
+            # pure-numpy path: no device round-trip from the loader thread
+            kpts, scores, scales, oris, descs, mask = self._extractor._host_extract(
+                img[None]
+            )
+            return {
+                "keypoints": kpts[0], "keypoint_scores": scores[0],
+                "descriptors": descs[0], "keypoint_mask": mask[0],
+            }
+        pred = self._extractor.apply({}, {"image": img[None]})
+        return {
+            "keypoints": np.asarray(pred["keypoints"][0]),
+            "keypoint_scores": np.asarray(pred["keypoint_scores"][0]),
+            "descriptors": np.asarray(pred["descriptors"][0]),
+            "keypoint_mask": np.asarray(pred["keypoint_mask"][0]),
+        }
 
     def get_features(self, name: str, img: np.ndarray) -> dict:
         """Detect-once feature cache for the source image (host)."""
