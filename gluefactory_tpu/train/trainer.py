@@ -57,6 +57,9 @@ default_train_conf = {
     "profile": False,
     "profile_start": 10,
     "profile_end": 15,
+    # {benchmark_name: benchmark_conf} run at the end of every epoch on the
+    # just-saved checkpoint (reference train.py:376-393)
+    "benchmarks": {},
 }
 
 
@@ -230,6 +233,7 @@ class Trainer:
                         return self.state
                 results = self._validate_and_save(epoch, it_total)
                 self._save(epoch, it_total, results=results)
+                self._run_benchmarks(epoch)
         finally:
             signal.signal(signal.SIGINT, old_handler)
         return self.state
@@ -248,6 +252,19 @@ class Trainer:
                 )
                 logger.info("New best checkpoint (%s=%.4f)", key, val)
         return results
+
+    def _run_benchmarks(self, epoch: int):
+        bench_confs = self.conf.train.get("benchmarks") or {}
+        for name, bconf in bench_confs.items():
+            from ..eval import run_benchmark
+
+            bconf = merge({}, bconf, {"model": {"checkpoint": self.experiment}})
+            out = (self.output_dir or Path(".")) / "benchmarks" / name
+            try:
+                summaries, _ = run_benchmark(name, bconf, out)
+                logger.info("[Benchmark %s @ epoch %d] %s", name, epoch, summaries)
+            except Exception as e:  # noqa: BLE001 - benchmarks must not kill training
+                logger.warning("Benchmark %s failed: %s", name, e)
 
     def _save(self, epoch, it_total, results=None, interrupted=False):
         save_experiment(
