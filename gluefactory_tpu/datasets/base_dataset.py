@@ -125,6 +125,8 @@ class BaseDataset:
         if shuffle is None:
             shuffle = split == "train" and self.conf.shuffle_training
 
+        num_workers = int(self.conf.num_workers)
+
         def make_batches():
             n = len(dataset)
             order = np.arange(n)
@@ -133,9 +135,24 @@ class BaseDataset:
                 rng.shuffle(order)
             if distributed:
                 order = order[rank::world_size]
-            for start in range(0, len(order) - bs + 1, bs):
-                samples = [dataset[int(i)] for i in order[start : start + bs]]
-                yield collate(samples)
+            starts = range(0, len(order) - bs + 1, bs)
+            if num_workers > 0:
+                # thread pool: cv2/numpy sample construction releases the GIL
+                # (counterpart of the reference's DataLoader worker processes)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(num_workers) as pool:
+                    for start in starts:
+                        samples = list(
+                            pool.map(
+                                lambda i: dataset[int(i)], order[start : start + bs]
+                            )
+                        )
+                        yield collate(samples)
+            else:
+                for start in starts:
+                    samples = [dataset[int(i)] for i in order[start : start + bs]]
+                    yield collate(samples)
 
         return _PrefetchIterator(make_batches, prefetch=int(self.conf.prefetch))
 

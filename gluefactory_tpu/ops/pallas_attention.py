@@ -281,6 +281,123 @@ def _fused_attention_bwd(residuals, g):
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
+def _bidir_cross_kernel(
+    qk0_ref, qk1_ref, v0_ref, v1_ref, mask0_ref, mask1_ref,
+    m0_ref, m1_ref,
+    colmax_ref, coldenom_ref, colacc_ref,
+    *, scale,
+):
+    """Single similarity pass per tile: the row direction (messages into set
+    0) is a full softmax over the resident set-1 axis; the column direction
+    (messages into set 1) runs an ONLINE softmax accumulated across the
+    sequential q-block grid steps in VMEM scratch, finalized on the last
+    step. Saves the second QK^T of the two-pass formulation
+    (reference materializes sim twice, lightglue.py:236-242)."""
+    i = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    q = qk0_ref[0].astype(jnp.float32)  # (BQ, D)
+    k = qk1_ref[0].astype(jnp.float32)  # (N, D)
+    v1 = v1_ref[0].astype(jnp.float32)  # (N, D)
+    v0b = v0_ref[0].astype(jnp.float32)  # (BQ, D)
+    mask0 = mask0_ref[0, :, 0]  # (BQ,)
+    mask1 = mask1_ref[0, 0, :]  # (N,)
+
+    sim = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    neg = jnp.float32(-1e9)
+    rowvalid = (mask0 > 0)[:, None]
+    colvalid = (mask1 > 0)[None, :]
+    sim = jnp.where(colvalid, sim, neg)
+    sim = jnp.where(rowvalid, sim, neg)  # padded rows contribute nothing
+
+    # direction 0<-1: full row softmax (set-1 axis resident)
+    rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), neg)
+    e_row = jnp.where(colvalid, jnp.exp(sim - rowmax), 0.0)
+    denom_row = jnp.sum(e_row, axis=-1, keepdims=True)
+    p_row = e_row / (denom_row + 1e-30)
+    m0 = jax.lax.dot_general(
+        p_row, v1, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m0_ref[0] = (m0 * (mask0 > 0)[:, None]).astype(m0_ref.dtype)
+
+    # direction 1<-0: online column softmax across q blocks
+    @pl.when(i == 0)
+    def _init():
+        colmax_ref[0, :] = jnp.full_like(colmax_ref[0, :], -1e9)
+        coldenom_ref[0, :] = jnp.zeros_like(coldenom_ref[0, :])
+        colacc_ref[...] = jnp.zeros_like(colacc_ref)
+
+    block_colmax = jnp.max(sim, axis=0)  # (N,)
+    old_m = colmax_ref[0, :]
+    new_m = jnp.maximum(old_m, block_colmax)
+    factor = jnp.exp(old_m - new_m)
+    e_col = jnp.exp(sim - new_m[None, :])
+    e_col = jnp.where(rowvalid & colvalid, e_col, 0.0)
+    colacc_ref[...] = colacc_ref[...] * factor[:, None] + jax.lax.dot_general(
+        e_col, v0b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    coldenom_ref[0, :] = coldenom_ref[0, :] * factor + jnp.sum(e_col, axis=0)
+    colmax_ref[0, :] = new_m
+
+    @pl.when(i == n_steps - 1)
+    def _finalize():
+        m1 = colacc_ref[...] / (coldenom_ref[0, :][:, None] + 1e-30)
+        m1_ref[0] = (m1 * (mask1 > 0)[:, None]).astype(m1_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _bidir_cross_bhnd(qk0, qk1, v0, v1, mask0, mask1, block_q=256, interpret=False):
+    bh, m, d = qk0.shape
+    n = qk1.shape[1]
+    scale = d**-0.5
+    m_p = _round_up(m, block_q)
+    n_p = _round_up(n, 128)
+    if m_p != m:
+        qk0 = jnp.pad(qk0, ((0, 0), (0, m_p - m), (0, 0)))
+        v0 = jnp.pad(v0, ((0, 0), (0, m_p - m), (0, 0)))
+        mask0 = jnp.pad(mask0, ((0, 0), (0, m_p - m)))
+    if n_p != n:
+        qk1 = jnp.pad(qk1, ((0, 0), (0, n_p - n), (0, 0)))
+        v1 = jnp.pad(v1, ((0, 0), (0, n_p - n), (0, 0)))
+        mask1 = jnp.pad(mask1, ((0, 0), (0, n_p - n)))
+    mask0_3 = mask0[:, :, None]
+    mask1_3 = mask1[:, None, :]
+
+    grid = (bh, m_p // block_q)
+    m0, m1 = pl.pallas_call(
+        functools.partial(_bidir_cross_kernel, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, m_p, d), qk0.dtype),
+            jax.ShapeDtypeStruct((bh, n_p, d), qk1.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_p, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_p, d), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, n_p), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_p, d), lambda b, i: (b, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, n_p), jnp.float32),  # colmax
+            pltpu.VMEM((1, n_p), jnp.float32),  # coldenom
+            pltpu.VMEM((n_p, d), jnp.float32),  # colacc
+        ],
+        interpret=interpret,
+    )(qk0, qk1, v0, v1, mask0_3, mask1_3)
+    return m0[:, :m], m1[:, :n]
+
+
+@jax.custom_vjp
 def fused_cross_attention(
     qk0: jnp.ndarray,
     qk1: jnp.ndarray,
@@ -290,12 +407,55 @@ def fused_cross_attention(
     mask1: Optional[jnp.ndarray] = None,
 ):
     """Bidirectional cross-attention (LightGlue CrossBlock semantics): both
-    directions share the projection, so sim(1->0) = sim(0->1)^T. The internal
+    directions share the projection, so sim(1->0) = sim(0->1)^T. The
+    single-pass kernel computes the similarity ONCE per tile. The internal
     D^-1/2 scaling equals the reference's per-side D^-1/4 (lightglue.py:235).
     """
-    m0 = fused_attention(qk0, qk1, v1, mask0, mask1)
-    m1 = fused_attention(qk1, qk0, v0, mask1, mask0)
-    return m0, m1
+    b, h, m, d = qk0.shape
+    n = qk1.shape[2]
+    mq, mk = _flatten_masks(qk0, qk1, mask0, mask1)
+    interpret = jax.default_backend() != "tpu"
+    block_q = min(256, _round_up(m, 128))
+    m0, m1 = _bidir_cross_bhnd(
+        qk0.reshape(b * h, m, d), qk1.reshape(b * h, n, d),
+        v0.reshape(b * h, m, d), v1.reshape(b * h, n, d),
+        mq, mk, block_q=block_q, interpret=interpret,
+    )
+    return m0.reshape(b, h, m, d), m1.reshape(b, h, n, d)
+
+
+def _fused_cross_fwd(qk0, qk1, v0, v1, mask0, mask1):
+    out = fused_cross_attention(qk0, qk1, v0, v1, mask0, mask1)
+    return out, (qk0, qk1, v0, v1, mask0, mask1)
+
+
+def _fused_cross_bwd(residuals, grads):
+    """Backward via the two per-direction attention backward kernels."""
+    qk0, qk1, v0, v1, mask0, mask1 = residuals
+    g0, g1 = grads
+    b, h, m, d = qk0.shape
+    n = qk1.shape[2]
+    mq, mk = _flatten_masks(qk0, qk1, mask0, mask1)
+    interpret = jax.default_backend() != "tpu"
+
+    def bwd(q, k, v, mq_, mk_, g, nq):
+        blk = min(256, _round_up(nq, 128))
+        return _fused_attention_bwd_bhnd(
+            q.reshape(b * h, -1, d), k.reshape(b * h, -1, d),
+            v.reshape(b * h, -1, d), mq_, mk_, g.reshape(b * h, -1, d),
+            block_q=blk, interpret=interpret,
+        )
+
+    dq0a, dk1a, dv1 = bwd(qk0, qk1, v1, mq, mk, g0, m)
+    dq1b, dk0b, dv0 = bwd(qk1, qk0, v0, mk, mq, g1, n)
+    dqk0 = dq0a.reshape(b, h, m, d) + dk0b.reshape(b, h, m, d)
+    dqk1 = dk1a.reshape(b, h, n, d) + dq1b.reshape(b, h, n, d)
+    return (
+        dqk0, dqk1, dv0.reshape(b, h, m, d), dv1.reshape(b, h, n, d), None, None
+    )
+
+
+fused_cross_attention.defvjp(_fused_cross_fwd, _fused_cross_bwd)
 
 
 __all__ = ["fused_attention", "fused_cross_attention"]

@@ -118,3 +118,50 @@ class TestFusedAttentionVJP:
         gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
         for a, b_ in zip(gp, gx):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3)
+
+
+class TestBidirectionalCrossKernel:
+    def test_forward_matches_xla_multi_block(self, rng):
+        # m spans multiple q blocks to exercise the online column softmax
+        b, h, m, n, d = 1, 2, 300, 112, 64
+        qk0 = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        qk1 = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        v0 = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        v1 = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        mask0 = jnp.asarray(rng.rand(b, m) > 0.2)
+        mask1 = jnp.asarray(rng.rand(b, n) > 0.2)
+        m0_k, m1_k = fused_cross_attention(qk0, qk1, v0, v1, mask0, mask1)
+        m0_r, m1_r = cross_attention_bidirectional(
+            qk0, qk1, v0, v1, mask0, mask1, impl="xla"
+        )
+        v0m, v1m = np.asarray(mask0[0]), np.asarray(mask1[0])
+        np.testing.assert_allclose(
+            np.asarray(m0_k)[0][:, v0m], np.asarray(m0_r)[0][:, v0m],
+            atol=3e-5, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m1_k)[0][:, v1m], np.asarray(m1_r)[0][:, v1m],
+            atol=3e-5, rtol=1e-4,
+        )
+
+    def test_gradients(self, rng):
+        import jax
+
+        b, h, m, n, d = 1, 1, 160, 96, 64
+        qk0 = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        qk1 = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+        v0 = jnp.asarray(rng.randn(b, h, m, d), jnp.float32)
+        v1 = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+
+        def loss_k(qk0, qk1, v0, v1):
+            a, b_ = fused_cross_attention(qk0, qk1, v0, v1)
+            return (a**2).sum() + (b_**2).sum()
+
+        def loss_r(qk0, qk1, v0, v1):
+            a, b_ = cross_attention_bidirectional(qk0, qk1, v0, v1, impl="xla")
+            return (a**2).sum() + (b_**2).sum()
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2, 3))(qk0, qk1, v0, v1)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(qk0, qk1, v0, v1)
+        for a, b_ in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-3, rtol=1e-3)
