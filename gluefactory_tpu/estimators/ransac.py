@@ -155,9 +155,10 @@ def _eight_point(p0n, p1n, weights=None):
     )  # (..., N, 9)
     if weights is not None:
         A = A * weights[..., None]
+    from ..ops.linalg import smallest_eigenvector
+
     AtA = jnp.matmul(jnp.swapaxes(A, -1, -2), A, precision=_HI)
-    _, eigvecs = jnp.linalg.eigh(AtA)
-    F = eigvecs[..., :, 0].reshape(AtA.shape[:-2] + (3, 3))
+    F = smallest_eigenvector(AtA).reshape(AtA.shape[:-2] + (3, 3))
     # denormalize: x1c = T1 x1 => x1^T (T1^T F T0) x0 = 0
     E = jnp.matmul(
         jnp.matmul(jnp.swapaxes(T1, -1, -2), F, precision=_HI), T0, precision=_HI

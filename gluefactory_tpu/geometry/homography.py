@@ -189,10 +189,13 @@ def solve_homography_dlt(
     wa = jnp.concatenate([weights, weights], axis=-1)[..., None]
     A = A * wa
 
-    # null vector via smallest eigenvector of A^T A (9x9; robust & batched)
+    # null vector via smallest eigenvector of A^T A (9x9): batched cyclic
+    # Jacobi (ops/linalg.py) - much faster than XLA's generic eigh for
+    # thousands of tiny problems on TPU
+    from ..ops.linalg import smallest_eigenvector
+
     AtA = jnp.matmul(jnp.swapaxes(A, -1, -2), A, precision="highest")
-    eigvals, eigvecs = jnp.linalg.eigh(AtA)
-    h = eigvecs[..., :, 0]
+    h = smallest_eigenvector(AtA)
     Hn = h.reshape(h.shape[:-1] + (3, 3))
     H = jnp.matmul(jnp.matmul(jnp.linalg.inv(T1), Hn, precision="highest"), T0, precision="highest")
     H = H / jnp.where(jnp.abs(H[..., 2:3, 2:3]) < 1e-8, 1.0, H[..., 2:3, 2:3])
