@@ -90,7 +90,11 @@ def main():
         if np.issubdtype(np.asarray(v).dtype, np.number) and np.asarray(v).ndim == 1
     ]
     metric = args.metric or (metrics[0] if metrics else None)
-    if metric is None:
+    if metric is not None and metric not in results:
+        # threshold-suffixed keys (e.g. H_error_ransac_2.0): prefix match
+        candidates = [k for k in metrics if k.startswith(metric)]
+        metric = candidates[0] if candidates else metric
+    if metric is None or metric not in results:
         logger.info("No numeric per-pair metrics found; keys: %s", list(results))
         return
     out_dir = Path(args.output) if args.output else exp_dir / "inspect"

@@ -82,3 +82,24 @@ class TestSyntheticEvalPipeline:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
+
+
+class TestInspect:
+    def test_headless_inspect(self, pipeline_run, monkeypatch, tmp_path):
+        """The inspect CLI renders a metric scatter + pair figures headless."""
+        import sys
+
+        import gluefactory_tpu.eval.inspect as inspect_mod
+
+        d, _, _ = pipeline_run
+        monkeypatch.setattr(inspect_mod, "EVAL_PATH", d.parent)
+        monkeypatch.setattr(
+            sys, "argv",
+            ["inspect", d.name, "--metric", "H_error_ransac",
+             "--output", str(tmp_path), "--n_extremes", "1"],
+        )
+        inspect_mod.main()
+        # metric resolves to the threshold-suffixed key
+        assert list(tmp_path.glob("H_error_ransac*.png"))
+        pngs = list(tmp_path.glob("*.png"))
+        assert len(pngs) >= 2  # scatter + at least one pair figure
