@@ -163,8 +163,10 @@ def _eight_point(p0n, p1n, weights=None):
     E = jnp.matmul(
         jnp.matmul(jnp.swapaxes(T1, -1, -2), F, precision=_HI), T0, precision=_HI
     )
-    # project to essential manifold
-    U, s, Vt = jnp.linalg.svd(E)
+    # project to essential manifold (batched Jacobi 3x3 SVD, ops/linalg.py)
+    from ..ops.linalg import svd3x3
+
+    U, s, Vt = svd3x3(E)
     sigma = (s[..., 0] + s[..., 1]) / 2.0
     S = jnp.stack([sigma, sigma, jnp.zeros_like(sigma)], axis=-1)
     E = jnp.matmul(U * S[..., None, :], Vt, precision=_HI)

@@ -102,7 +102,9 @@ def generalized_epi_dist(
 def decompose_essential_matrix(E: jnp.ndarray):
     """E -> two candidate rotations and a translation direction
     (epipolar.py:97-122)."""
-    U, _, Vt = jnp.linalg.svd(E)
+    from ..ops.linalg import svd3x3
+
+    U, _, Vt = svd3x3(E)
     # keep proper rotations
     U = jnp.where(
         (jnp.linalg.det(U) < 0)[..., None, None],

@@ -77,3 +77,35 @@ def smallest_eigenvector(A: jnp.ndarray, sweeps: int = 10) -> jnp.ndarray:
 
 
 __all__ = ["jacobi_eigh", "smallest_eigenvector"]
+
+
+def svd3x3(A: jnp.ndarray, sweeps: int = 8):
+    """SVD of batched 3x3 matrices via Jacobi eigendecomposition of A^T A.
+
+    Tailored to (near-)rank-2 inputs like essential matrices: the smallest
+    left singular vector is recovered as u0 x u1 (always well-defined for
+    rank >= 2), avoiding the 0/0 of A v / s. Returns (U, s, Vt) with s
+    descending and U, V proper orthonormal (det sign NOT enforced).
+    """
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    evals, V = jacobi_eigh(AtA, sweeps=sweeps)  # ascending
+    # descending order
+    evals = evals[..., ::-1]
+    V = V[..., :, ::-1]
+    s = jnp.sqrt(jnp.maximum(evals, 0.0))
+    u0 = jnp.einsum("...ij,...j->...i", A, V[..., :, 0]) / jnp.maximum(
+        s[..., 0:1], 1e-12
+    )
+    u1 = jnp.einsum("...ij,...j->...i", A, V[..., :, 1]) / jnp.maximum(
+        s[..., 1:2], 1e-12
+    )
+    # re-orthonormalize u1 against u0 (fp noise), then complete the frame
+    u1 = u1 - jnp.sum(u0 * u1, axis=-1, keepdims=True) * u0
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-12)
+    u2 = jnp.cross(u0, u1)
+    # resolve the cross-product sign against A v2 (only matters when s2 > 0)
+    av2 = jnp.einsum("...ij,...j->...i", A, V[..., :, 2])
+    sign = jnp.where(jnp.sum(av2 * u2, axis=-1, keepdims=True) < 0, -1.0, 1.0)
+    u2 = u2 * sign
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    return U, s, jnp.swapaxes(V, -1, -2)
