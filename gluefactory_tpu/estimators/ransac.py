@@ -254,29 +254,50 @@ def ransac_relative_pose(
     # hypothesis selection at a RELAXED threshold: minimal 8-point estimates
     # are noisy, so a tight threshold locks onto models that overfit few
     # points; graduated refinement below anneals back to th (LO-RANSAC with
-    # threshold annealing, cf. MAGSAC/GC-RANSAC practice).
-    w = jnp.maximum(0.0, 1.0 - errs / (16.0 * th2)) * valid_f[None]
-    scores = jnp.sum(w, axis=-1)
-    best = jnp.argmax(scores)
-    E = Es[best]
+    # threshold annealing, cf. MAGSAC/GC-RANSAC practice). Refine the TOP-8
+    # candidates in parallel, not just the argmax: LO from a single seed
+    # occasionally converges to a local optimum (seed-variance robustness).
+    # multi-scale candidate selection: the relaxed score can rank
+    # contaminated models above good ones, the tight score is noise-brittle -
+    # take the top-4 at each of three scales (12 candidates, may overlap).
+    cand_parts = []
+    for mult in (1.0, 4.0, 16.0):
+        w = jnp.maximum(0.0, 1.0 - errs / (mult * th2)) * valid_f[None]
+        cand_parts.append(jax.lax.top_k(jnp.sum(w, axis=-1), 4)[1])
+    cand_idx = jnp.concatenate(cand_parts)
+    n_cand = 12
+    E_cand = Es[cand_idx]  # (C, 3, 3)
 
     # annealed threshold multipliers: coarse-to-fine, then polish at 1x
     multipliers = [16.0, 8.0, 4.0, 2.0] + [1.0] * max(refine_iters, 2)
 
     def refine(E, mult):
+        # E: (C, 3, 3); all candidates refined in one batched solve
         t2 = th2 * mult
-        err = sampson_distance(p0n, p1n, E[None])[0]
-        w = jnp.maximum(0.0, 1.0 - err / t2) * valid_f
-        E_new = _eight_point(p0n[None], p1n[None], w[None])[0]
-        old = jnp.sum(jnp.maximum(0.0, 1.0 - err / t2) * valid_f)
-        new_err = sampson_distance(p0n, p1n, E_new[None])[0]
-        new = jnp.sum(jnp.maximum(0.0, 1.0 - new_err / t2) * valid_f)
-        E = jnp.where((new >= old) & jnp.all(jnp.isfinite(E_new)), E_new, E)
+        err = sampson_distance(p0n[None], p1n[None], E)  # (C, N)
+        w = jnp.maximum(0.0, 1.0 - err / t2) * valid_f[None]
+        E_new = _eight_point(
+            jnp.broadcast_to(p0n[None], (n_cand,) + p0n.shape),
+            jnp.broadcast_to(p1n[None], (n_cand,) + p1n.shape),
+            w,
+        )
+        old = jnp.sum(w, axis=-1)
+        new_err = sampson_distance(p0n[None], p1n[None], E_new)
+        new = jnp.sum(jnp.maximum(0.0, 1.0 - new_err / t2) * valid_f[None], axis=-1)
+        ok = (new >= old) & jnp.all(jnp.isfinite(E_new), axis=(-1, -2))
+        E = jnp.where(ok[:, None, None], E_new, E)
         return E, None
 
-    E, _ = jax.lax.scan(refine, E, jnp.asarray(multipliers))
+    E_cand, _ = jax.lax.scan(refine, E_cand, jnp.asarray(multipliers))
 
-    err = sampson_distance(p0n, p1n, E[None])[0]
+    # final selection at the true threshold
+    final_errs = sampson_distance(p0n[None], p1n[None], E_cand)  # (C, N)
+    final_scores = jnp.sum(
+        jnp.maximum(0.0, 1.0 - final_errs / th2) * valid_f[None], axis=-1
+    )
+    best = jnp.argmax(final_scores)
+    E = E_cand[best]
+    err = final_errs[best]
     inliers = (err < th2) & valid
     R, t, chei = decompose_and_choose(E, p0n, p1n, inliers)
     inliers = inliers & chei

@@ -22,7 +22,7 @@ class JaxRansacRelativePose(BaseEstimator):
     default_conf = {
         "name": "jax_ransac",
         "ransac_th": 2.0,
-        "options": {"num_hypotheses": 2048, "refine_iters": 4, "seed": 0},
+        "options": {"num_hypotheses": 8192, "refine_iters": 4, "seed": 0},
     }
     required_data_keys = ["m_kpts0", "m_kpts1", "camera0", "camera1"]
 

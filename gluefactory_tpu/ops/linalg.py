@@ -87,16 +87,16 @@ def svd3x3(A: jnp.ndarray, sweeps: int = 8):
     rank >= 2), avoiding the 0/0 of A v / s. Returns (U, s, Vt) with s
     descending and U, V proper orthonormal (det sign NOT enforced).
     """
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A, precision="highest")
     evals, V = jacobi_eigh(AtA, sweeps=sweeps)  # ascending
     # descending order
     evals = evals[..., ::-1]
     V = V[..., :, ::-1]
     s = jnp.sqrt(jnp.maximum(evals, 0.0))
-    u0 = jnp.einsum("...ij,...j->...i", A, V[..., :, 0]) / jnp.maximum(
+    u0 = jnp.einsum("...ij,...j->...i", A, V[..., :, 0], precision="highest") / jnp.maximum(
         s[..., 0:1], 1e-12
     )
-    u1 = jnp.einsum("...ij,...j->...i", A, V[..., :, 1]) / jnp.maximum(
+    u1 = jnp.einsum("...ij,...j->...i", A, V[..., :, 1], precision="highest") / jnp.maximum(
         s[..., 1:2], 1e-12
     )
     # re-orthonormalize u1 against u0 (fp noise), then complete the frame
@@ -104,7 +104,7 @@ def svd3x3(A: jnp.ndarray, sweeps: int = 8):
     u1 = u1 / jnp.maximum(jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-12)
     u2 = jnp.cross(u0, u1)
     # resolve the cross-product sign against A v2 (only matters when s2 > 0)
-    av2 = jnp.einsum("...ij,...j->...i", A, V[..., :, 2])
+    av2 = jnp.einsum("...ij,...j->...i", A, V[..., :, 2], precision="highest")
     sign = jnp.where(jnp.sum(av2 * u2, axis=-1, keepdims=True) < 0, -1.0, 1.0)
     u2 = u2 * sign
     U = jnp.stack([u0, u1, u2], axis=-1)
