@@ -307,21 +307,23 @@ def _bidir_cross_kernel(
         preferred_element_type=jnp.float32,
     ) * scale
     neg = jnp.float32(-1e9)
-    rowvalid = (mask0 > 0)[:, None]
-    colvalid = (mask1 > 0)[None, :]
-    sim = jnp.where(colvalid, sim, neg)
-    sim = jnp.where(rowvalid, sim, neg)  # padded rows contribute nothing
+    # cast masks to f32 BEFORE inserting a minor dim: Mosaic only supports
+    # non-trivial minor-dim insertion for 32-bit types
+    row_f = mask0.astype(jnp.float32)[:, None]  # (BQ, 1)
+    col_f = mask1.astype(jnp.float32)[None, :]  # (1, N)
+    pair_f = row_f * col_f
+    sim = sim * pair_f + neg * (1.0 - pair_f)
 
     # direction 0<-1: full row softmax (set-1 axis resident)
     rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), neg)
-    e_row = jnp.where(colvalid, jnp.exp(sim - rowmax), 0.0)
+    e_row = jnp.exp(sim - rowmax) * col_f
     denom_row = jnp.sum(e_row, axis=-1, keepdims=True)
     p_row = e_row / (denom_row + 1e-30)
     m0 = jax.lax.dot_general(
         p_row, v1, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    m0_ref[0] = (m0 * (mask0 > 0)[:, None]).astype(m0_ref.dtype)
+    m0_ref[0] = (m0 * row_f).astype(m0_ref.dtype)
 
     # direction 1<-0: online column softmax across q blocks
     @pl.when(i == 0)
@@ -334,8 +336,7 @@ def _bidir_cross_kernel(
     old_m = colmax_ref[0, :]
     new_m = jnp.maximum(old_m, block_colmax)
     factor = jnp.exp(old_m - new_m)
-    e_col = jnp.exp(sim - new_m[None, :])
-    e_col = jnp.where(rowvalid & colvalid, e_col, 0.0)
+    e_col = jnp.exp(sim - new_m[None, :]) * pair_f
     colacc_ref[...] = colacc_ref[...] * factor[:, None] + jax.lax.dot_general(
         e_col, v0b, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -346,7 +347,7 @@ def _bidir_cross_kernel(
     @pl.when(i == n_steps - 1)
     def _finalize():
         m1 = colacc_ref[...] / (coldenom_ref[0, :][:, None] + 1e-30)
-        m1_ref[0] = (m1 * (mask1 > 0)[:, None]).astype(m1_ref.dtype)
+        m1_ref[0] = (m1 * mask1.astype(jnp.float32)[:, None]).astype(m1_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
