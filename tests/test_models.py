@@ -330,3 +330,29 @@ class TestTwoViewPipeline:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
+
+
+class TestLoFTR:
+    def test_detector_free_matching(self, rng):
+        from gluefactory_tpu.geometry.homography import warp_points_np
+
+        model = get_model("loftr").from_conf(
+            {"dim_coarse": 32, "dim_fine": 16, "n_coarse_layers": 1,
+             "max_num_matches": 64, "coarse_threshold": 0.0}
+        )
+        img = rng.rand(1, 64, 96, 1).astype(np.float32)
+        data = {
+            "view0": {"image": jnp.asarray(img)},
+            "view1": {"image": jnp.asarray(img)},  # identical pair
+        }
+        variables = model.init(jax.random.PRNGKey(0), data)
+        pred = model.apply(variables, data)
+        assert pred["keypoints0"].shape == (1, 64, 2)
+        assert pred["matches0"].shape == (1, 64)
+        # identical images: matched cells should coincide spatially
+        m = np.asarray(pred["keypoint_mask0"][0])
+        k0 = np.asarray(pred["keypoints0"][0])[m]
+        k1 = np.asarray(pred["keypoints1"][0])[m]
+        if m.sum() > 4:
+            d = np.linalg.norm(k0 - k1, axis=-1)
+            assert np.median(d) < 8.0, np.median(d)
