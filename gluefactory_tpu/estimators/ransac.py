@@ -80,25 +80,37 @@ def ransac_homography(
     Hs = solve_homography_dlt(p0, p1)  # (K, 3, 3)
 
     errs = homography_residuals(kpts0[None], kpts1[None], Hs)  # (K, N)
-    scores = _msac_score(errs, th, valid_f[None])  # (K,)
-    best = jnp.argmax(scores)
-    H = Hs[best]
+    # multi-candidate LO (same scheme as the E estimator): refine the top-4
+    # per selection scale in one batched IRLS, pick by tight-threshold MSAC
+    cand_parts = []
+    for mult in (1.0, 2.0, 4.0):
+        cand_parts.append(
+            jax.lax.top_k(_msac_score(errs, th * mult, valid_f[None]), 4)[1]
+        )
+    cand_idx = jnp.concatenate(cand_parts)
+    n_cand = 12
+    H_cand = Hs[cand_idx]  # (C, 3, 3)
 
-    # LO-RANSAC: IRLS with truncated-quadratic weights around the best model
     def refine(H, _):
-        err = homography_residuals(kpts0, kpts1, H[None])[0]
-        w = jnp.maximum(0.0, 1.0 - (err / th) ** 2) * valid_f
-        H_new = solve_homography_dlt(kpts0[None], kpts1[None], w[None])[0]
-        # keep refinement only if it improves the MSAC score
-        better = _msac_score(
-            homography_residuals(kpts0, kpts1, H_new[None])[0][None], th, valid_f[None]
-        )[0] >= _msac_score(err[None], th, valid_f[None])[0]
-        H = jnp.where(better & jnp.all(jnp.isfinite(H_new)), H_new, H)
-        return H, None
+        err = homography_residuals(kpts0[None], kpts1[None], H)  # (C, N)
+        w = jnp.maximum(0.0, 1.0 - (err / th) ** 2) * valid_f[None]
+        H_new = solve_homography_dlt(
+            jnp.broadcast_to(kpts0[None], (n_cand,) + kpts0.shape),
+            jnp.broadcast_to(kpts1[None], (n_cand,) + kpts1.shape),
+            w,
+        )
+        old = _msac_score(err, th, valid_f[None])
+        new = _msac_score(
+            homography_residuals(kpts0[None], kpts1[None], H_new), th, valid_f[None]
+        )
+        ok = (new >= old) & jnp.all(jnp.isfinite(H_new), axis=(-1, -2))
+        return jnp.where(ok[:, None, None], H_new, H), None
 
-    H, _ = jax.lax.scan(refine, H, None, length=refine_iters)
-
-    err = homography_residuals(kpts0, kpts1, H[None])[0]
+    H_cand, _ = jax.lax.scan(refine, H_cand, None, length=refine_iters)
+    final_errs = homography_residuals(kpts0[None], kpts1[None], H_cand)
+    best = jnp.argmax(_msac_score(final_errs, th, valid_f[None]))
+    H = H_cand[best]
+    err = final_errs[best]
     inliers = (err < th) & valid
     success = jnp.sum(inliers) >= 4
     return RansacResult(H, inliers, jnp.sum(inliers.astype(jnp.float32)), success)
