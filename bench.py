@@ -37,7 +37,7 @@ def main():
     pipe = get_model("two_view_pipeline").from_conf(
         {
             "extractor": {"name": "superpoint_open", "max_num_keypoints": NUM_KPTS},
-            "matcher": {"name": "lightglue", "filter_threshold": 0.1},
+            "matcher": {"name": "lightglue", "filter_threshold": 0.1, "mp": True},
         }
     )
     data = {

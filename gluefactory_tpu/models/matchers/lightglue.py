@@ -73,9 +73,12 @@ def _dense(x, w, b=None):
 
 
 def _layer_norm(x, scale, bias, eps: float = 1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    # stats in fp32 even on the bf16 (mp) path, result back in x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    return y.astype(x.dtype)
 
 
 def _heads(x, num_heads):
@@ -188,11 +191,19 @@ class LightGlue(BaseModel):
         use_pallas = conf.flash and jax.default_backend() == "tpu"
         return "pallas" if use_pallas else "xla"
 
-    def _slice(self, stack, i):
-        """Index the layer axis of a (w, b) stack with a static or traced i."""
+    def _slice(self, stack, i, dtype=None):
+        """Index the layer axis of a (w, b) stack with a static or traced i.
+
+        `dtype` casts the slice (bf16 on the mp path: mixed-dtype einsums
+        would otherwise silently promote activations back to fp32)."""
         w, b = stack
         take = lambda p: jax.lax.dynamic_index_in_dim(p, i, axis=0, keepdims=False)
-        return take(w), (None if b is None else take(b))
+        w = take(w)
+        b = None if b is None else take(b)
+        if dtype is not None:
+            w = w.astype(dtype)
+            b = None if b is None else b.astype(dtype)
+        return w, b
 
     def _posenc(self, kpts: jnp.ndarray, num_valid: jnp.ndarray) -> jnp.ndarray:
         """Rotary frequency tensor (2, B, 1, N, head_dim)."""
@@ -209,20 +220,21 @@ class LightGlue(BaseModel):
     def _self_block(self, i, x, encoding, mask):
         conf = self.conf
         h = conf.num_heads
-        w, b = self._slice(self.self_Wqkv, i)
+        w, b = self._slice(self.self_Wqkv, i, x.dtype)
         qkv = _dense(x, w, b)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = _heads(q, h), _heads(k, h), _heads(v, h)
-        q = apply_rotary(q, encoding)
-        k = apply_rotary(k, encoding)
+        enc = encoding.astype(x.dtype)
+        q = apply_rotary(q, enc)
+        k = apply_rotary(k, enc)
         context = self_attention(q, k, v, mask, impl=self._attn_impl())
-        w, b = self._slice(self.self_out, i)
-        message = _dense(_unheads(context), w, b)
+        w, b = self._slice(self.self_out, i, x.dtype)
+        message = _dense(_unheads(context).astype(x.dtype), w, b)
         return x + self._ffn(x, message, i, self.self_ffn1, self.self_ln, self.self_ffn2)
 
     def _ffn(self, x, message, i, ffn1, ln, ffn2):
-        w1, b1 = self._slice(ffn1, i)
-        w2, b2 = self._slice(ffn2, i)
+        w1, b1 = self._slice(ffn1, i, x.dtype)
+        w2, b2 = self._slice(ffn2, i, x.dtype)
         scale = jax.lax.dynamic_index_in_dim(ln[0], i, 0, keepdims=False)
         bias = jax.lax.dynamic_index_in_dim(ln[1], i, 0, keepdims=False)
         y = _dense(jnp.concatenate([x, message], axis=-1), w1, b1)
@@ -232,8 +244,8 @@ class LightGlue(BaseModel):
     def _cross_block(self, i, x0, x1, mask0, mask1):
         conf = self.conf
         h = conf.num_heads
-        wqk, bqk = self._slice(self.cross_qk, i)
-        wv, bv = self._slice(self.cross_v, i)
+        wqk, bqk = self._slice(self.cross_qk, i, x0.dtype)
+        wv, bv = self._slice(self.cross_v, i, x0.dtype)
         qk0 = _heads(_dense(x0, wqk, bqk), h)
         qk1 = _heads(_dense(x1, wqk, bqk), h)
         v0 = _heads(_dense(x0, wv, bv), h)
@@ -241,9 +253,9 @@ class LightGlue(BaseModel):
         m0, m1 = cross_attention_bidirectional(
             qk0, qk1, v0, v1, mask0, mask1, impl=self._attn_impl()
         )
-        wo, bo = self._slice(self.cross_out, i)
-        m0 = _dense(_unheads(m0), wo, bo)
-        m1 = _dense(_unheads(m1), wo, bo)
+        wo, bo = self._slice(self.cross_out, i, x0.dtype)
+        m0 = _dense(_unheads(m0).astype(x0.dtype), wo, bo)
+        m1 = _dense(_unheads(m1).astype(x0.dtype), wo, bo)
         x0 = x0 + self._ffn(x0, m0, i, self.cross_ffn1, self.cross_ln, self.cross_ffn2)
         x1 = x1 + self._ffn(x1, m1, i, self.cross_ffn1, self.cross_ln, self.cross_ffn2)
         return x0, x1
@@ -309,6 +321,12 @@ class LightGlue(BaseModel):
         if conf.input_dim != conf.descriptor_dim:
             desc0 = _dense(desc0, self.input_proj_w, self.input_proj_b)
             desc1 = _dense(desc1, self.input_proj_w, self.input_proj_b)
+        if conf.mp:
+            # bf16 through the transformer stack (reference half-cast
+            # attention, lightglue.py:143,483-485); softmax/layernorm/
+            # assignment statistics stay fp32.
+            desc0 = desc0.astype(jnp.bfloat16)
+            desc1 = desc1.astype(jnp.bfloat16)
 
         # conditional PE uses the (static) keypoint count like the fork
         # (lightglue.py:490-494 passes kpts.shape[1]); padded sets therefore
@@ -343,8 +361,32 @@ class LightGlue(BaseModel):
         # final assignment at the exit layer over ACTIVE tokens
         am0 = act0 if (mask0 is not None or do_point_pruning) else None
         am1 = act1 if (mask1 is not None or do_point_pruning) else None
-        scores, _ = self._assignment(i_exit, desc0, desc1, am0, am1)
-        m0, m1, mscores0, mscores1 = filter_matches(scores, conf.filter_threshold)
+        if self._attn_impl() == "pallas" and not is_training:
+            # fused Pallas assignment: sim + double-softmax + bins + filter
+            # stats in one pass; the (M+1)x(N+1) matrix is written once and
+            # never re-read (ops/pallas_assignment.py). Forward-only: the
+            # loss recomputes assignments through the XLA path.
+            from ...ops.pallas_assignment import (
+                filter_matches_from_stats,
+                fused_log_assignment,
+            )
+
+            dd = conf.descriptor_dim
+            w, bproj = self._slice(self.assign_proj, i_exit)
+            mdesc0 = (_dense(desc0, w, bproj) / dd**0.25).astype(jnp.float32)
+            mdesc1 = (_dense(desc1, w, bproj) / dd**0.25).astype(jnp.float32)
+            wm, bm = self._slice(self.assign_match, i_exit)
+            z0 = _dense(desc0, wm, bm)[..., 0].astype(jnp.float32)
+            z1 = _dense(desc1, wm, bm)[..., 0].astype(jnp.float32)
+            scores, rowmax, rowarg, colmax, colarg = fused_log_assignment(
+                mdesc0, mdesc1, z0, z1, am0, am1
+            )
+            m0, m1, mscores0, mscores1 = filter_matches_from_stats(
+                rowmax, rowarg, colmax, colarg, conf.filter_threshold
+            )
+        else:
+            scores, _ = self._assignment(i_exit, desc0, desc1, am0, am1)
+            m0, m1, mscores0, mscores1 = filter_matches(scores, conf.filter_threshold)
 
         return {
             "matches0": m0,

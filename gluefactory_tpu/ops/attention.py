@@ -79,7 +79,14 @@ def self_attention(
     if impl == "pallas":
         from .pallas_attention import fused_attention
 
-        return fused_attention(q, k, v, mask, mask)
+        # kernel I/O stays f32: at head_dim 64 the bf16 (16,128) tile layout
+        # forces lane-padding relayouts that cost more than the MXU saves
+        # (measured on v5e-class hw); the surrounding dense ops run bf16.
+        out = fused_attention(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+            mask, mask,
+        )
+        return out.astype(q.dtype)
     return _sdpa(q, k, v, attn_mask)
 
 
@@ -112,7 +119,12 @@ def cross_attention_bidirectional(
     if impl == "pallas":
         from .pallas_attention import fused_cross_attention
 
-        return fused_cross_attention(qk0, qk1, v0, v1, mask0, mask1)
+        f32 = jnp.float32
+        m0, m1 = fused_cross_attention(
+            qk0.astype(f32), qk1.astype(f32), v0.astype(f32), v1.astype(f32),
+            mask0, mask1,
+        )
+        return m0.astype(qk0.dtype), m1.astype(qk1.dtype)
     s = qk0.shape[-1] ** -0.25
     sim = jnp.einsum(
         "...id,...jd->...ij", qk0 * s, qk1 * s, preferred_element_type=jnp.float32

@@ -32,9 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale):
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)  # (N, D)
-    v = v_ref[0].astype(jnp.float32)  # (N, D)
+    # f32 operands: measured FASTER than bf16 here — at head_dim 64 the
+    # bf16 packing/relayout costs more than the extra f32 MXU passes save
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (N, D)
+    v = v_ref[0]  # (N, D)
     mask_q = maskq_ref[0, :, 0]  # (BQ,) int32 (bool as int)
     mask_k = maskk_ref[0, 0, :]  # (N,)
 
@@ -42,7 +44,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, N)
+    ) * scale  # (BQ, N) f32
 
     neg = jnp.float32(-1e9)
     colmask = (mask_k > 0)[None, :]
@@ -54,7 +56,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale
     p = e / (denom + 1e-30)
 
     o = jax.lax.dot_general(
-        p, v,
+        p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -103,6 +105,11 @@ def _fused_attention_bhnd(
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
         interpret=interpret,
+        # every (batch*head, q-block) cell is independent -> megacore can
+        # split both grid axes across cores
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * nq_p * nk_p * d * 2,
             bytes_accessed=4 * bh * (nq_p * d * 2 + 2 * nk_p * d),
@@ -120,9 +127,9 @@ def _attention_bwd_kernel(
     dv += p^T do ; dp = do v^T ; ds = p*(dp - rowsum(p*dp)) ;
     dq = ds k * scale ; dk += ds^T q * scale.
     dk/dv accumulate across the sequential q-block grid steps."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     do = do_ref[0].astype(jnp.float32)
     mask_q = maskq_ref[0, :, 0]
     mask_k = maskk_ref[0, 0, :]
@@ -146,16 +153,19 @@ def _attention_bwd_kernel(
         dk_ref[0] = jnp.zeros_like(dk_ref[0])
         dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
+    cdt = q.dtype  # matmul operand dtype (bf16 full-rate on the MXU)
+    p_c = p.astype(cdt)
+    do_c = do.astype(cdt)
     dv_ref[0] += jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p_c, do_c, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
 
     dp = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        do_c, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True)) * scale
+    ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True)) * scale).astype(cdt)
 
     dq_ref[0] = jax.lax.dot_general(
         ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -210,6 +220,10 @@ def _fused_attention_bwd_bhnd(
             pl.BlockSpec((1, nk_p, d), lambda b, i: (b, 0, 0)),  # accumulated
         ),
         interpret=interpret,
+        # dk/dv accumulate across q-blocks -> that axis must stay sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
     )(q, k, v, mask_q3, mask_k3, do)
     return dq[:, :nq], dk[:, :nk], dv[:, :nk]
 
@@ -295,10 +309,10 @@ def _bidir_cross_kernel(
     (reference materializes sim twice, lightglue.py:236-242)."""
     i = pl.program_id(1)
     n_steps = pl.num_programs(1)
-    q = qk0_ref[0].astype(jnp.float32)  # (BQ, D)
-    k = qk1_ref[0].astype(jnp.float32)  # (N, D)
-    v1 = v1_ref[0].astype(jnp.float32)  # (N, D)
-    v0b = v0_ref[0].astype(jnp.float32)  # (BQ, D)
+    q = qk0_ref[0]  # (BQ, D): f32 operands, measured faster than bf16
+    k = qk1_ref[0]  # (N, D)   at head_dim 64 (packing overhead dominates)
+    v1 = v1_ref[0]  # (N, D)
+    v0b = v0_ref[0]  # (BQ, D)
     mask0 = mask0_ref[0, :, 0]  # (BQ,)
     mask1 = mask1_ref[0, 0, :]  # (N,)
 
@@ -320,7 +334,7 @@ def _bidir_cross_kernel(
     denom_row = jnp.sum(e_row, axis=-1, keepdims=True)
     p_row = e_row / (denom_row + 1e-30)
     m0 = jax.lax.dot_general(
-        p_row, v1, dimension_numbers=(((1,), (0,)), ((), ())),
+        p_row.astype(v1.dtype), v1, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m0_ref[0] = (m0 * row_f).astype(m0_ref.dtype)
@@ -338,7 +352,7 @@ def _bidir_cross_kernel(
     factor = jnp.exp(old_m - new_m)
     e_col = jnp.exp(sim - new_m[None, :]) * pair_f
     colacc_ref[...] = colacc_ref[...] * factor[:, None] + jax.lax.dot_general(
-        e_col, v0b, dimension_numbers=(((0,), (0,)), ((), ())),
+        e_col.astype(v0b.dtype), v0b, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     coldenom_ref[0, :] = coldenom_ref[0, :] * factor + jnp.sum(e_col, axis=0)
@@ -394,6 +408,10 @@ def _bidir_cross_bhnd(qk0, qk1, v0, v1, mask0, mask1, block_q=256, interpret=Fal
             pltpu.VMEM((n_p, d), jnp.float32),  # colacc
         ],
         interpret=interpret,
+        # the online column softmax accumulates across q-blocks
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
     )(qk0, qk1, v0, v1, mask0_3, mask1_3)
     return m0[:, :m], m1[:, :n]
 

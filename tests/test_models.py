@@ -356,3 +356,25 @@ class TestLoFTR:
         if m.sum() > 4:
             d = np.linalg.norm(k0 - k1, axis=-1)
             assert np.median(d) < 8.0, np.median(d)
+
+
+class TestLightGlueMixedPrecision:
+    def test_mp_matches_fp32(self, rng):
+        """bf16 (mp) forward must agree with fp32 on match decisions and
+        keep assignment scores close."""
+        conf = {"n_layers": 3, "descriptor_dim": 64, "input_dim": 64, "num_heads": 2}
+        model32 = get_model("lightglue").from_conf(conf)
+        model16 = get_model("lightglue").from_conf({**conf, "mp": True})
+        data, _, _ = make_matching_data(np.random.RandomState(3), b=2, n=48, d=64)
+        params = model32.init(jax.random.PRNGKey(0), data)
+        p32 = model32.apply(params, data)
+        p16 = model16.apply(params, data)
+        assert p16["ref_descriptors0"].dtype == jnp.bfloat16
+        m32 = np.asarray(p32["matches0"])
+        m16 = np.asarray(p16["matches0"])
+        assert (m32 == m16).mean() > 0.9
+        np.testing.assert_allclose(
+            np.asarray(p16["log_assignment"], np.float32),
+            np.asarray(p32["log_assignment"]),
+            atol=0.3,
+        )

@@ -165,3 +165,49 @@ class TestBidirectionalCrossKernel:
         gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(qk0, qk1, v0, v1)
         for a, b_ in zip(gk, gr):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-3, rtol=1e-3)
+
+
+class TestFusedAssignment:
+    def _inputs(self, rng, b, m, n, d, masked=True):
+        d0 = jnp.asarray(rng.randn(b, m, d), jnp.float32) / d**0.25
+        d1 = jnp.asarray(rng.randn(b, n, d), jnp.float32) / d**0.25
+        z0 = jnp.asarray(rng.randn(b, m), jnp.float32)
+        z1 = jnp.asarray(rng.randn(b, n), jnp.float32)
+        mask0 = jnp.asarray(rng.rand(b, m) > 0.25) if masked else None
+        mask1 = jnp.asarray(rng.rand(b, n) > 0.25) if masked else None
+        return d0, d1, z0, z1, mask0, mask1
+
+    @pytest.mark.parametrize("m,n,masked", [(96, 96, False), (200, 130, True), (300, 260, True)])
+    def test_scores_match_xla(self, rng, m, n, masked):
+        from gluefactory_tpu.ops.assignment import sigmoid_log_double_softmax
+        from gluefactory_tpu.ops.pallas_assignment import fused_log_assignment
+
+        b, d = 2, 64
+        d0, d1, z0, z1, mask0, mask1 = self._inputs(rng, b, m, n, d, masked)
+        sim = jnp.einsum("bmd,bnd->bmn", d0, d1)
+        ref = sigmoid_log_double_softmax(sim, z0[..., None], z1[..., None], mask0, mask1)
+        scores, *_ = fused_log_assignment(d0, d1, z0, z1, mask0, mask1)
+        np.testing.assert_allclose(np.asarray(scores), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+    @pytest.mark.parametrize("th", [0.0, 0.1])
+    def test_filter_stats_match_filter_matches(self, rng, th):
+        from gluefactory_tpu.ops.assignment import (
+            filter_matches,
+            sigmoid_log_double_softmax,
+        )
+        from gluefactory_tpu.ops.pallas_assignment import (
+            filter_matches_from_stats,
+            fused_log_assignment,
+        )
+
+        b, m, n, d = 2, 180, 140, 64
+        d0, d1, z0, z1, mask0, mask1 = self._inputs(rng, b, m, n, d, True)
+        sim = jnp.einsum("bmd,bnd->bmn", d0, d1)
+        ref = sigmoid_log_double_softmax(sim, z0[..., None], z1[..., None], mask0, mask1)
+        rm0, rm1, rs0, rs1 = filter_matches(ref, th)
+        _, rowmax, rowarg, colmax, colarg = fused_log_assignment(d0, d1, z0, z1, mask0, mask1)
+        km0, km1, ks0, ks1 = filter_matches_from_stats(rowmax, rowarg, colmax, colarg, th)
+        np.testing.assert_array_equal(np.asarray(km0), np.asarray(rm0))
+        np.testing.assert_array_equal(np.asarray(km1), np.asarray(rm1))
+        np.testing.assert_allclose(np.asarray(ks0), np.asarray(rs0), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ks1), np.asarray(rs1), atol=1e-5)
