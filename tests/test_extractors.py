@@ -108,3 +108,75 @@ class TestMixed:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
+
+
+class TestKeyNetHardNet:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        import jax
+
+        model = get_model("keynet_hardnet").from_conf(
+            {"max_num_keypoints": 128, "num_levels": 2}
+        )
+        rng0 = np.random.RandomState(0)
+        img = rng0.rand(1, 96, 128, 1).astype(np.float32)
+        data = {"image": jnp.asarray(img)}
+        params = model.init(jax.random.PRNGKey(0), data)
+        return model, params
+
+    def test_shapes_and_mask(self, model_and_params, rng):
+        model, params = model_and_params
+        data = {"image": jnp.asarray(rng.rand(2, 96, 128, 1), jnp.float32)}
+        pred = model.apply(params, data)
+        assert pred["keypoints"].shape == (2, 128, 2)
+        assert pred["descriptors"].shape == (2, 128, 128)
+        assert pred["scales"].shape == (2, 128)
+        assert pred["oris"].shape == (2, 128)
+        assert pred["lafs"].shape == (2, 128, 2, 3)
+        norms = np.linalg.norm(np.asarray(pred["descriptors"]), axis=-1)
+        valid = np.asarray(pred["keypoint_mask"])
+        np.testing.assert_allclose(norms[valid], 1.0, atol=1e-4)
+        # masked-out keypoints have zeroed descriptors
+        assert np.all(norms[~valid] < 1e-6)
+
+    def test_keypoints_on_texture_not_flat(self, model_and_params, rng):
+        """Derivative-based scores are zero on flat regions: keypoints must
+        concentrate in the textured area."""
+        model, params = model_and_params
+        img = np.full((1, 96, 128, 1), 0.5, np.float32)
+        img[0, 30:70, 40:90, 0] = rng.rand(40, 50).astype(np.float32)
+        pred = model.apply(params, {"image": jnp.asarray(img)})
+        kp = np.asarray(pred["keypoints"][0])
+        sc = np.asarray(pred["keypoint_scores"][0])
+        inside = (
+            (kp[:, 0] > 30) & (kp[:, 0] < 100) & (kp[:, 1] > 20) & (kp[:, 1] < 80)
+        )
+        # flat regions only produce a tiny bias plateau: virtually all score
+        # mass must sit on the textured area
+        assert sc[inside].sum() / max(sc.sum(), 1e-12) > 0.95
+        top = np.argsort(-sc)[:32]
+        assert inside[top].mean() > 0.9
+
+    def test_dominant_orientation_of_ramp(self):
+        from gluefactory_tpu.models.extractors.keynet_hardnet import (
+            dominant_orientation,
+        )
+
+        p = 19
+        xs = np.tile(np.linspace(0, 1, p)[None, :], (p, 1)).astype(np.float32)
+        # gradient along +x -> angle ~ 0; along +y -> ~ pi/2
+        a0 = float(dominant_orientation(jnp.asarray(xs)[None, None])[0, 0])
+        a90 = float(dominant_orientation(jnp.asarray(xs.T)[None, None])[0, 0])
+        assert abs(a0) < 0.2, a0
+        assert abs(a90 - np.pi / 2) < 0.2, a90
+
+    def test_upright_conf(self, rng):
+        import jax
+
+        model = get_model("keynet_hardnet").from_conf(
+            {"max_num_keypoints": 64, "num_levels": 2, "upright": True}
+        )
+        data = {"image": jnp.asarray(rng.rand(1, 96, 128, 1), jnp.float32)}
+        params = model.init(jax.random.PRNGKey(0), data)
+        pred = model.apply(params, data)
+        assert np.all(np.asarray(pred["oris"]) == 0.0)
