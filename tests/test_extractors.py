@@ -180,3 +180,89 @@ class TestKeyNetHardNet:
         params = model.init(jax.random.PRNGKey(0), data)
         pred = model.apply(params, data)
         assert np.all(np.asarray(pred["oris"]) == 0.0)
+
+
+class TestSIFTTPU:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = get_model("sift_tpu").from_conf(
+            {"max_num_keypoints": 256, "num_octaves": 3}
+        )
+        rng0 = np.random.RandomState(0)
+        data = {"image": jnp.asarray(rng0.rand(1, 96, 128, 1), jnp.float32)}
+        params = model.init(jax.random.PRNGKey(0), data)
+        return model, params
+
+    def test_shapes_and_norms(self, model_and_params, rng):
+        model, params = model_and_params
+        data = {"image": jnp.asarray(rng.rand(2, 96, 128, 1), jnp.float32)}
+        pred = model.apply(params, data)
+        assert pred["keypoints"].shape == (2, 256, 2)
+        assert pred["descriptors"].shape == (2, 256, 128)
+        assert pred["scales"].shape == (2, 256)
+        assert pred["oris"].shape == (2, 256)
+        valid = np.asarray(pred["keypoint_mask"])
+        norms = np.linalg.norm(np.asarray(pred["descriptors"]), axis=-1)
+        np.testing.assert_allclose(norms[valid], 1.0, atol=1e-3)
+        assert np.all(norms[~valid] < 1e-6)
+        kp = np.asarray(pred["keypoints"])
+        assert kp[valid].min() >= 0 and kp[valid][:, 0].max() < 128
+
+    def test_blob_detection(self, model_and_params):
+        """DoG responds to blobs: plant Gaussian blobs on a flat background,
+        all detections must land on them."""
+        model, params = model_and_params
+        img = np.full((96, 128), 0.3, np.float32)
+        yy, xx = np.mgrid[0:96, 0:128].astype(np.float32)
+        # sigmas chosen so each blob's scale-extremum falls inside the
+        # candidate scale range [sigma0*k, sigma0*k^s] (boundary DoG slices
+        # are excluded, classic SIFT)
+        centers = [(30, 40, 3.0), (60, 90, 5.0), (45, 64, 2.5)]
+        for cy, cx, s in centers:
+            img += 0.7 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+        pred = model.apply(params, {"image": jnp.asarray(img)[None, :, :, None]})
+        kp = np.asarray(pred["keypoints"][0])
+        sc = np.asarray(pred["keypoint_scores"][0])
+        valid = np.asarray(pred["keypoint_mask"][0])
+        assert valid.sum() >= 3
+        # the 3 strongest detections are the blobs (DoG also fires on the
+        # negative rings between blobs, so weaker detections may sit there)
+        top = np.argsort(-sc)[:3]
+        for pt in kp[top]:
+            d = min(np.hypot(pt[0] - cx, pt[1] - cy) for cy, cx, _ in centers)
+            assert d < 4.0, (pt, d)
+        # and every blob is found
+        for cy, cx, _ in centers:
+            d = np.hypot(kp[valid][:, 0] - cx, kp[valid][:, 1] - cy).min()
+            assert d < 3.0
+
+    def test_shift_equivariance_and_desc_match(self, model_and_params, rng):
+        """Keypoints of a translated image translate; descriptors at matching
+        locations agree (NN matching across the shift is near-perfect)."""
+        model, params = model_and_params
+        base = rng.rand(96, 128).astype(np.float32)
+        import scipy.ndimage as ndi
+
+        base = ndi.gaussian_filter(base, 1.5)
+        base = (base - base.min()) / (base.max() - base.min())
+        dy, dx = 8, 8
+        shifted = np.roll(np.roll(base, dy, axis=0), dx, axis=1)
+        p0 = model.apply(params, {"image": jnp.asarray(base)[None, :, :, None]})
+        p1 = model.apply(params, {"image": jnp.asarray(shifted)[None, :, :, None]})
+        kp0 = np.asarray(p0["keypoints"][0])[np.asarray(p0["keypoint_mask"][0])]
+        kp1 = np.asarray(p1["keypoints"][0])[np.asarray(p1["keypoint_mask"][0])]
+        d0 = np.asarray(p0["descriptors"][0])[np.asarray(p0["keypoint_mask"][0])]
+        d1 = np.asarray(p1["descriptors"][0])[np.asarray(p1["keypoint_mask"][0])]
+        # keep interior kp0 whose shifted position stays in-bounds w/ margin
+        tgt = kp0 + np.array([dx, dy])
+        sel = (
+            (tgt[:, 0] > 16) & (tgt[:, 0] < 112) & (tgt[:, 1] > 16) & (tgt[:, 1] < 80)
+            & (kp0[:, 0] > 16) & (kp0[:, 1] > 16)
+        )
+        assert sel.sum() >= 5
+        ok = 0
+        for i in np.where(sel)[0]:
+            j = np.argmax(d1 @ d0[i])
+            if np.hypot(*(kp1[j] - tgt[i])) < 3.0:
+                ok += 1
+        assert ok / sel.sum() > 0.6, (ok, int(sel.sum()))

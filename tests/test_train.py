@@ -102,6 +102,57 @@ class TestTrainStep:
         assert any(jax.tree.leaves(changed))
 
 
+class TestOnDeviceExtractorStep:
+    def test_sift_tpu_in_jitted_train_step(self, rng):
+        """Fully on-device recipe (configs/sift_tpu+lightglue_homography.yaml):
+        images -> DoG-SIFT -> LightGlue -> loss as ONE jitted program; the
+        parameterless extractor must not break grad flow to the matcher."""
+        from gluefactory_tpu.models import get_model
+
+        pipe = get_model("two_view_pipeline").from_conf(
+            {
+                "extractor": {
+                    "name": "sift_tpu",
+                    "max_num_keypoints": 48,
+                    "num_octaves": 2,
+                    "trainable": False,
+                },
+                "matcher": {
+                    "name": "lightglue",
+                    "n_layers": 2,
+                    "input_dim": 128,
+                    "descriptor_dim": 32,
+                    "num_heads": 2,
+                    "is_training": True,
+                },
+                "ground_truth": {"name": "homography_matcher"},
+            }
+        )
+        b, h, w = 2, 96, 128
+        data = {
+            "view0": {
+                "image": jnp.asarray(rng.rand(b, h, w, 1), jnp.float32),
+                "image_size": jnp.asarray([[w * 1.0, h * 1.0]] * b),
+            },
+            "view1": {
+                "image": jnp.asarray(rng.rand(b, h, w, 1), jnp.float32),
+                "image_size": jnp.asarray([[w * 1.0, h * 1.0]] * b),
+            },
+            "H_0to1": jnp.tile(jnp.eye(3), (b, 1, 1)),
+        }
+        params = pipe.init(jax.random.PRNGKey(0), data)["params"]
+        tx = make_optimizer({"lr": 1e-3})
+        state = TrainState(jnp.zeros((), jnp.int32), params, {}, tx.init(params))
+        step = jax.jit(make_train_step(pipe, tx))
+        new_state, losses = step(state, data)
+        assert np.isfinite(float(losses["total"]))
+        assert float(losses["skipped_nonfinite"]) == 0.0
+        changed = jax.tree.map(
+            lambda a, b_: not np.allclose(a, b_), state.params, new_state.params
+        )
+        assert any(jax.tree.leaves(changed))
+
+
 class TestTrainerEndToEnd:
     def test_train_and_checkpoint_roundtrip(self, tmp_path, monkeypatch):
         monkeypatch.setattr(settings, "TRAINING_PATH", tmp_path)
