@@ -44,9 +44,12 @@ def collate(samples: list) -> dict:
 
 
 class _PrefetchIterator:
-    """Background-thread prefetch of collated batches."""
+    """Background-thread prefetch of collated batches. Exposes `.dataset`
+    (the underlying indexable split) like torch's DataLoader so consumers —
+    e.g. the interactive eval browser — can random-access samples."""
 
-    def __init__(self, make_batches, prefetch: int = 2):
+    def __init__(self, make_batches, prefetch: int = 2, dataset=None):
+        self.dataset = dataset
         self._queue: queue.Queue = queue.Queue(maxsize=prefetch)
         self._done = object()
         self._thread = threading.Thread(
@@ -154,7 +157,9 @@ class BaseDataset:
                     samples = [dataset[int(i)] for i in order[start : start + bs]]
                     yield collate(samples)
 
-        return _PrefetchIterator(make_batches, prefetch=int(self.conf.prefetch))
+        return _PrefetchIterator(
+            make_batches, prefetch=int(self.conf.prefetch), dataset=dataset
+        )
 
     def get_overfit_loader(self, split: str, length: int = 100):
         """Repeat one batch forever-ish (reference LoopSampler overfit mode)."""
@@ -166,7 +171,7 @@ class BaseDataset:
             for _ in range(length):
                 yield batch
 
-        return _PrefetchIterator(make_batches, prefetch=1)
+        return _PrefetchIterator(make_batches, prefetch=1, dataset=dataset)
 
 
 def get_dataset(name: str):

@@ -74,12 +74,26 @@ def render_pair(pred_file: Path, name: str, out: Path, data_loader=None):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("experiment", help="e.g. synthetic/default or hpatches/tag")
+    parser.add_argument(
+        "experiment",
+        help="benchmark/tag (headless) or bare benchmark name with extra "
+        "tags for the interactive multi-experiment browser",
+    )
+    parser.add_argument("extra_experiments", nargs="*",
+                        help="more tags to compare (interactive mode)")
     parser.add_argument("--metric", default=None)
+    parser.add_argument("--x", default=None)
+    parser.add_argument("--y", default=None)
+    parser.add_argument("--default_plot", default="matches")
     parser.add_argument("--n_extremes", type=int, default=3)
     parser.add_argument("--output", type=str, default=None)
     parser.add_argument("--interactive", action="store_true")
+    parser.add_argument("--backend", type=str, default=None,
+                        help="matplotlib backend for --interactive (e.g. TkAgg)")
     args = parser.parse_args()
+
+    if args.interactive:
+        return run_interactive(args)
 
     exp_dir = Path(EVAL_PATH) / args.experiment
     summaries, results = load_eval(exp_dir)
@@ -118,23 +132,45 @@ def main():
                 continue
         logger.info("Wrote %d pair figures to %s", len(picks), out_dir)
 
-    if args.interactive:  # pragma: no cover - needs display
-        import matplotlib
+def run_interactive(args):  # pragma: no cover - needs display
+    """Clickable multi-experiment browser: GlobalFrame metric scatter ->
+    TwoViewFrame per-pair view (reference eval/inspect.py:15-61)."""
+    import matplotlib
 
-        matplotlib.use("TkAgg")
-        import matplotlib.pyplot as plt
+    if args.backend:
+        matplotlib.use(args.backend)
+    import matplotlib.pyplot as plt
 
-        fig, ax = plt.subplots()
-        ax.scatter(np.arange(len(vals)), vals, picker=5)
-        ax.set_ylabel(metric)
+    from . import get_benchmark
+    from ..visualization.global_frame import GlobalFrame
+    from ..visualization.two_view_frame import TwoViewFrame
 
-        def on_pick(event):
-            i = event.ind[0]
-            render_pair(pred_file, names[i], out_dir / "interactive.png")
-            logger.info("Pair %s -> %s", names[i], out_dir / "interactive.png")
+    if "/" in args.experiment and not args.extra_experiments:
+        benchmark, tag = args.experiment.split("/", 1)
+        tags = [tag]
+    else:
+        benchmark, tags = args.experiment, list(args.extra_experiments)
+        if not tags:
+            tags = ["default"]
+    output_dir = Path(EVAL_PATH) / benchmark
+    pipeline = get_benchmark(benchmark)({})
+    loader = pipeline.get_dataloader()
 
-        fig.canvas.mpl_connect("pick_event", on_pick)
-        plt.show()
+    results, predictions, summaries = {}, {}, {}
+    for tag in tags:
+        exp_dir = output_dir / tag
+        s, results[tag] = load_eval(exp_dir)
+        predictions[tag] = exp_dir / "predictions.h5"
+        summaries[tag] = s
+    logger.info("Summaries: %s", summaries)
+
+    plt.close("all")
+    frame = GlobalFrame(
+        {"x": args.x, "y": args.y, "child": {"default": args.default_plot}},
+        results, loader, predictions, child_frame=TwoViewFrame,
+    )
+    frame.draw()
+    plt.show()
 
 
 if __name__ == "__main__":

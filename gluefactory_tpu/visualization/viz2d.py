@@ -16,7 +16,8 @@ import matplotlib.pyplot as plt
 import numpy as np
 
 __all__ = [
-    "cm_RdGn", "plot_images", "plot_keypoints", "plot_matches", "plot_lines",
+    "cm_RdGn", "cm_ranking", "plot_images", "plot_image_grid",
+    "plot_keypoints", "plot_matches", "plot_lines",
     "plot_color_line_matches", "plot_heatmaps", "plot_cumulative",
     "add_text", "save_plot",
 ]
@@ -27,6 +28,17 @@ def cm_RdGn(x):
     x = np.clip(np.asarray(x, float), 0, 1)[..., None] * 2
     c = x * np.array([[0, 1.0, 0]]) + (2 - x) * np.array([[1.0, 0, 0]])
     return np.clip(c, 0, 1)
+
+
+def cm_ranking(sc, ths=(512, 1024, 2048, 4096)):
+    """Color keypoints by score rank band: the strongest 512 red, next band
+    yellow, ... (reference viz2d.py:32-42)."""
+    sc = np.asarray(sc)
+    colors = ["red", "yellow", "lime", "cyan", "blue"]
+    ranks = np.empty(len(sc), int)
+    ranks[np.argsort(-sc)] = np.arange(len(sc))
+    bands = np.searchsorted(np.asarray(ths), ranks, side="right")
+    return [colors[min(b, len(colors) - 1)] for b in bands]
 
 
 def plot_images(imgs, titles=None, cmaps="gray", dpi=100, size=6, pad=0.5):
@@ -50,6 +62,30 @@ def plot_images(imgs, titles=None, cmaps="gray", dpi=100, size=6, pad=0.5):
     return fig, axs
 
 
+def plot_image_grid(imgs, titles=None, cmaps="gray", dpi=100, pad=0.5, figs=3.0):
+    """Plot a GRID of images: imgs is a list of rows, each row a list of
+    images (reference viz2d.py plot_image_grid). Returns (fig, axes) with
+    axes[i] = list of the i-th row's axes."""
+    nr = len(imgs)
+    nc = max(len(row) for row in imgs)
+    imgs = [
+        [im[..., 0] if im.ndim == 3 and im.shape[-1] == 1 else im for im in row]
+        for row in imgs
+    ]
+    if not isinstance(cmaps, (list, tuple)):
+        cmaps = [cmaps] * nc
+    figsize = [figs * nc, figs * nr * imgs[0][0].shape[0] / imgs[0][0].shape[1]]
+    fig, axs = plt.subplots(nr, nc, figsize=figsize, dpi=dpi, squeeze=False)
+    for i, row in enumerate(imgs):
+        for j, img in enumerate(row):
+            axs[i][j].imshow(img, cmap=plt.get_cmap(cmaps[j]))
+            axs[i][j].set_axis_off()
+            if titles is not None:
+                axs[i][j].set_title(titles[i][j])
+    fig.tight_layout(pad=pad)
+    return fig, [list(r) for r in axs]
+
+
 def plot_keypoints(kpts, colors="lime", ps=4, axes=None, a=1.0):
     """Scatter keypoints on existing axes (reference viz2d.py:82-98)."""
     if axes is None:
@@ -61,8 +97,11 @@ def plot_keypoints(kpts, colors="lime", ps=4, axes=None, a=1.0):
         ax.scatter(k[:, 0], k[:, 1], c=c, s=ps, linewidths=0, alpha=a)
 
 
-def plot_matches(kpts0, kpts1, color=None, lw=1.5, ps=4, a=1.0, axes=None):
-    """Draw match lines between two image axes (reference viz2d.py:101-152)."""
+def plot_matches(kpts0, kpts1, color=None, lw=1.5, ps=4, a=1.0, axes=None,
+                 labels=None):
+    """Draw match lines between two image axes (reference viz2d.py:101-152).
+    `labels` attaches a per-match value to each line artist (used by the
+    interactive viewer to recolor by threshold)."""
     fig = plt.gcf()
     if axes is None:
         ax0, ax1 = fig.axes[:2]
@@ -75,14 +114,15 @@ def plot_matches(kpts0, kpts1, color=None, lw=1.5, ps=4, a=1.0, axes=None):
     elif not isinstance(color, (list, np.ndarray)):
         color = [color] * len(kpts0)
     for i in range(len(kpts0)):
-        fig.add_artist(
-            matplotlib.patches.ConnectionPatch(
-                xyA=tuple(kpts0[i]), coordsA=ax0.transData,
-                xyB=tuple(kpts1[i]), coordsB=ax1.transData,
-                color=color[i] if not isinstance(color, np.ndarray) else color[i],
-                linewidth=lw, alpha=a, zorder=1,
-            )
+        art = matplotlib.patches.ConnectionPatch(
+            xyA=tuple(kpts0[i]), coordsA=ax0.transData,
+            xyB=tuple(kpts1[i]), coordsB=ax1.transData,
+            color=color[i] if not isinstance(color, np.ndarray) else color[i],
+            linewidth=lw, alpha=a, zorder=1, picker=5.0,
         )
+        if labels is not None:
+            art.set_label(str(float(np.asarray(labels)[i])))
+        fig.add_artist(art)
     if ps > 0:
         ax0.scatter(kpts0[:, 0], kpts0[:, 1], c=color, s=ps)
         ax1.scatter(kpts1[:, 0], kpts1[:, 1], c=color, s=ps)
@@ -151,16 +191,24 @@ def plot_cumulative(errors: dict, thresholds, colors=None, title="",
 
 
 def add_text(idx, text, pos=(0.01, 0.99), fs=15, color="w", lcolor="k",
-             lwidth=2, ha="left", va="top"):
-    """Annotate an axis (reference viz2d.py:346-365)."""
-    ax = plt.gcf().axes[idx]
+             lwidth=2, ha="left", va="top", axes=None, visible=True,
+             backgroundcolor=None):
+    """Annotate an axis; returns the text artist (reference viz2d.py:346-365)."""
+    if axes is None:
+        ax = plt.gcf().axes[idx]
+    else:
+        ax = axes[idx] if isinstance(axes, (list, tuple)) else axes
+    kw = {}
+    if backgroundcolor is not None:
+        kw["backgroundcolor"] = backgroundcolor
     t = ax.text(*pos, text, fontsize=fs, ha=ha, va=va, color=color,
-                transform=ax.transAxes)
+                transform=ax.transAxes, visible=visible, **kw)
     if lcolor is not None:
         t.set_path_effects([
             path_effects.Stroke(linewidth=lwidth, foreground=lcolor),
             path_effects.Normal(),
         ])
+    return t
 
 
 def save_plot(path, **kw):
