@@ -47,9 +47,25 @@ def parse_eval_args(benchmark: str, args, default_conf: dict):
         tag = args.tag or conf_path.stem
     else:
         tag = args.tag or "default"
+    ckpt_conf = {}
     if args.checkpoint:
         conf["model"]["checkpoint"] = args.checkpoint
-    conf = merge(default_conf, conf, parse_dotlist(args.dotlist))
+        tag = args.tag or (f"{tag}_" if args.conf else "") + Path(args.checkpoint).name
+        # fold the model conf stored with the experiment so the evaluated
+        # architecture matches the trained one (reference io.py:59-65)
+        exp_conf_path = Path(TRAINING_PATH) / args.checkpoint / "config.yaml"
+        if exp_conf_path.exists():
+            model_conf = dict(load_yaml(exp_conf_path).get("model", {}))
+            # sanitize training-only knobs for the eval pipeline
+            model_conf.pop("ground_truth", None)
+            for comp in model_conf.values():
+                if isinstance(comp, dict):
+                    comp.pop("is_training", None)
+            ckpt_conf = {"model": model_conf}
+            # the checkpoint defines the architecture: don't let the
+            # benchmark's default model conf leak under it
+            default_conf = {**default_conf, "model": {}}
+    conf = merge(default_conf, ckpt_conf, conf, parse_dotlist(args.dotlist))
     return tag, conf
 
 

@@ -103,3 +103,50 @@ class TestInspect:
         assert list(tmp_path.glob("H_error_ransac*.png"))
         pngs = list(tmp_path.glob("*.png"))
         assert len(pngs) >= 2  # scatter + at least one pair figure
+
+
+class TestEvalIoCheckpointConf:
+    def test_checkpoint_model_conf_folded(self, tmp_path, monkeypatch):
+        """--checkpoint must evaluate the TRAINED architecture: the
+        experiment's stored model conf replaces the benchmark default and
+        training-only knobs are sanitized (reference io.py:59-65)."""
+        import argparse
+
+        import gluefactory_tpu.eval.io as eval_io
+        from gluefactory_tpu.utils.config import save_yaml
+
+        monkeypatch.setattr(eval_io, "TRAINING_PATH", tmp_path)
+        exp = tmp_path / "my_exp"
+        exp.mkdir()
+        save_yaml(
+            {
+                "model": {
+                    "name": "two_view_pipeline",
+                    "extractor": {"name": "sift_tpu", "max_num_keypoints": 99},
+                    "matcher": {"name": "lightglue", "input_dim": 128,
+                                "is_training": True},
+                    "ground_truth": {"name": "homography_matcher"},
+                },
+                "train": {"lr": 1e-4},
+            },
+            exp / "config.yaml",
+        )
+        args = argparse.Namespace(
+            conf=None, tag=None, checkpoint="my_exp", dotlist=[]
+        )
+        default = {
+            "data": {},
+            "model": {"extractor": {"name": "superpoint_open",
+                                    "detection_threshold": 0.0}},
+            "eval": {},
+        }
+        tag, conf = eval_io.parse_eval_args("synthetic", args, default)
+        assert tag == "my_exp"
+        assert conf["model"]["extractor"]["name"] == "sift_tpu"
+        assert conf["model"]["extractor"]["max_num_keypoints"] == 99
+        # benchmark default model conf must not leak under the ckpt arch
+        assert "detection_threshold" not in conf["model"]["extractor"]
+        # training-only knobs sanitized
+        assert "is_training" not in conf["model"]["matcher"]
+        assert "ground_truth" not in conf["model"]
+        assert conf["model"]["checkpoint"] == "my_exp"
