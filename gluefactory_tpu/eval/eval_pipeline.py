@@ -113,7 +113,17 @@ class EvalPipeline:
         )
         f = {}
         if not exists_eval(experiment_dir) or overwrite_eval or overwrite:
-            summaries, f, results = self.run_eval(self.get_dataloader(), pred_file)
+            # The eval phase is many tiny dynamic-shape programs (per-pair
+            # metrics + RANSAC on variable match counts). On a remote-compile
+            # TPU each unique shape costs a multi-second compile round-trip,
+            # so pin the phase to the host CPU backend — export (the heavy,
+            # static-shape model forward) stays on the accelerator.
+            import jax
+
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                summaries, f, results = self.run_eval(
+                    self.get_dataloader(), pred_file
+                )
             save_eval(experiment_dir, summaries, f, results)
         summaries, results = load_eval(experiment_dir)
         return summaries, f, results
