@@ -32,13 +32,13 @@ def simple_nms(scores: jnp.ndarray, radius: int, iterations: int = 2) -> jnp.nda
     batched_nms, superpoint_open.py:32-47)."""
 
     def max_pool(x):
+        # separable (2r+1)^2 max: two 1-D passes do 2(2r+1) compares/pixel
+        # instead of (2r+1)^2 — XLA does not split reduce_window itself
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 2 * radius + 1, 1), (1, 1, 1), "SAME"
+        )
         return jax.lax.reduce_window(
-            x,
-            -jnp.inf,
-            jax.lax.max,
-            (1, 2 * radius + 1, 2 * radius + 1),
-            (1, 1, 1),
-            "SAME",
+            x, -jnp.inf, jax.lax.max, (1, 1, 2 * radius + 1), (1, 1, 1), "SAME"
         )
 
     zeros = jnp.zeros_like(scores)
@@ -76,12 +76,16 @@ def sample_descriptors(
     def gather(iy, ix):
         return jnp.take_along_axis(flat, (iy * wc + ix)[..., None], axis=1)
 
+    # blend in the map's dtype (bf16 on TPU halves gather traffic — the
+    # output is re-normalized in fp32 below, so the precision loss is ~1e-3
+    # on unit vectors), accumulate in fp32
+    wdt = descriptors.dtype
     out = (
-        gather(y0i, x0i) * ((1 - wx) * (1 - wy))[..., None]
-        + gather(y0i, x1i) * (wx * (1 - wy))[..., None]
-        + gather(y1i, x0i) * ((1 - wx) * wy)[..., None]
-        + gather(y1i, x1i) * (wx * wy)[..., None]
-    )
+        gather(y0i, x0i) * ((1 - wx) * (1 - wy)).astype(wdt)[..., None]
+        + gather(y0i, x1i) * (wx * (1 - wy)).astype(wdt)[..., None]
+        + gather(y1i, x0i) * ((1 - wx) * wy).astype(wdt)[..., None]
+        + gather(y1i, x1i) * (wx * wy).astype(wdt)[..., None]
+    ).astype(jnp.float32)
     norm = jnp.linalg.norm(out, axis=-1, keepdims=True)
     return out / jnp.maximum(norm, 1e-8)
 
@@ -156,6 +160,10 @@ class SuperPoint(BaseModel):
         dense_desc = dense_desc / jnp.maximum(
             jnp.linalg.norm(dense_desc, axis=-1, keepdims=True), 1e-8
         )
+        if dtype is not None:
+            # unit-norm map: bf16 sampling costs ~1e-3 per component and the
+            # sampled descriptor is re-normalized in fp32
+            dense_desc = dense_desc.astype(dtype)
 
         # detector head: 65-channel cell softmax -> depth-to-space (fp32 softmax)
         sx = VGGBlock(c_last, dtype=dtype)(features, is_training)
@@ -167,6 +175,11 @@ class SuperPoint(BaseModel):
         scores = scores.reshape(b, hc, wc, stride, stride)
         scores = scores.transpose(0, 1, 3, 2, 4).reshape(b, hc * stride, wc * stride)
 
+        if dtype is not None:
+            # NMS + top-k are pure selection: bf16 scores halve the pooling /
+            # sort traffic; the selected values are compared to the detection
+            # threshold only (8-bit mantissa is plenty)
+            scores = scores.astype(dtype)
         scores = simple_nms(scores, conf.nms_radius)
 
         h, w = scores.shape[-2:]
@@ -188,6 +201,7 @@ class SuperPoint(BaseModel):
         ys = (topi // w).astype(jnp.float32)
         xs = (topi % w).astype(jnp.float32)
         keypoints = jnp.stack([xs, ys], axis=-1)
+        topv = topv.astype(jnp.float32)
         mask = topv > conf.detection_threshold
         kp_scores = jnp.where(mask, topv, 0.0)
 
@@ -200,7 +214,7 @@ class SuperPoint(BaseModel):
             "keypoint_mask": mask,
         }
         if conf.dense_outputs:
-            pred["dense_descriptors"] = dense_desc
+            pred["dense_descriptors"] = dense_desc.astype(jnp.float32)
         return pred
 
     def loss(self, pred, data):
