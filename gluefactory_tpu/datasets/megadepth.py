@@ -21,6 +21,7 @@ import numpy as np
 
 from .. import logger
 from ..geometry.wrappers import Camera, Pose
+from ..models.cache_loader import CacheLoader
 from ..settings import DATA_PATH
 from .base_dataset import BaseDataset
 from .utils import ImagePreprocessor, read_image, scale_intrinsics
@@ -67,6 +68,21 @@ class _PairDataset:
             self.intrinsics[scene] = info["intrinsics"]
         self.scenes = [s for s in scenes if s in self.images]
         self.preprocessor = ImagePreprocessor(dict(conf.preprocessing))
+
+        # cached-feature training (reference megadepth.py:311-329 +
+        # load_features conf in configs/*_megadepth.yaml): read per-scene h5
+        # caches written by scripts/export_megadepth.py instead of running the
+        # extractor; TwoViewPipeline skips extraction for views with "cache".
+        self.feature_loader = None
+        if conf.load_features.do:
+            self.feature_loader = CacheLoader(
+                {
+                    "path": conf.load_features.path,
+                    "data_keys": conf.load_features.data_keys,
+                    "padding_length": conf.load_features.padding_length,
+                }
+            )
+
         self.sample_new_items(conf.seed)
 
     def sample_new_items(self, seed: int):
@@ -149,6 +165,14 @@ class _PairDataset:
         }
         if depth is not None:
             view["depth"] = depth
+        if self.feature_loader is not None:
+            view["cache"] = self.feature_loader(
+                {
+                    "scene": scene,
+                    "name": str(self.images[scene][idx]),
+                    "scales": data["scales"],
+                }
+            )
         return view
 
     def __len__(self):
@@ -172,9 +196,76 @@ class _PairDataset:
         }
 
 
+class _TripletDataset(_PairDataset):
+    """3-view sampling for the TripletPipeline (reference megadepth.py:367-463).
+
+    Re-design of the reference's sampler: draw (k, i) pairs inside the overlap
+    window, then a third view j that also overlaps k — the reference's
+    non-enforced branch (:415-434) — all with a seeded RNG so per-epoch
+    `sample_new_items` stays reproducible.
+    """
+
+    def sample_new_items(self, seed: int):
+        conf = self.conf
+        self.items = []
+        num = conf.get(f"{self.split}_num_per_scene")
+        rs = np.random.RandomState(seed)
+        for scene in self.scenes:
+            info = np.load(str(self.info_dir / (scene + ".npz")), allow_pickle=True)
+            valid = np.array(
+                [p is not None for p in self.images[scene]]
+            ) & np.array([p is not None for p in self.depths[scene]])
+            ind = np.where(valid)[0]
+            mat = info["overlap_matrix"][valid][:, valid]
+            good = (mat > conf.min_overlap) & (mat <= conf.max_overlap)
+            # rows with at least two overlapping partners can anchor a triplet
+            rows = np.where(good.sum(-1) > 1)[0]
+            pairs = np.stack(np.where(good[rows]), -1)  # (n, [row_idx, i])
+            if num is not None and len(pairs) > num:
+                pairs = pairs[rs.choice(len(pairs), num, replace=False)]
+            for r, i in pairs:
+                k = rows[r]
+                candidates = np.where(good[k])[0]
+                candidates = candidates[candidates != i]
+                j = candidates[rs.randint(len(candidates))]
+                self.items.append(
+                    (
+                        scene,
+                        int(ind[k]), int(ind[i]), int(ind[j]),
+                        float(mat[k, i]), float(mat[k, j]), float(mat[i, j]),
+                    )
+                )
+        rs.shuffle(self.items)
+        logger.info(
+            "Sampled %d %s triplets (seed %d)", len(self.items), self.split, seed
+        )
+
+    def __getitem__(self, idx):
+        scene, i0, i1, i2, ov01, ov02, ov12 = self.items[idx]
+        views = [self._read_view(scene, i) for i in (i0, i1, i2)]
+        Ts = [v.pop("T_w2cam") for v in views]
+        names = [Path(str(v["name"])).stem for v in views]
+        data = {
+            "name": f"{scene}/{'_'.join(names)}",
+            "idx": idx,
+            "scene": scene,
+            "overlap_0to1": ov01,
+            "overlap_0to2": ov02,
+            "overlap_1to2": ov12,
+        }
+        for n, v in enumerate(views):
+            data[f"view{n}"] = {k: x for k, x in v.items() if k != "name"}
+        for a, b in ((0, 1), (0, 2), (1, 2)):
+            T = Ts[b] @ Ts[a].inv()
+            data[f"T_{a}to{b}"] = T
+            data[f"T_{b}to{a}"] = T.inv()
+        return data
+
+
 class MegaDepth(BaseDataset):
     default_conf = {
         "name": "megadepth",
+        "views": 2,  # 3 = triplets for the TripletPipeline (reference :367-463)
         "data_dir": "megadepth/",
         "depth_subpath": "depth_undistorted/",
         "image_subpath": "Undistorted_SfM/",
@@ -192,6 +283,15 @@ class MegaDepth(BaseDataset):
         "grayscale": False,
         "preprocessing": ImagePreprocessor.default_conf,
         "seed": 0,
+        # cached-feature mode (reference load_features conf,
+        # datasets/megadepth.py:311-329): path is a format string over
+        # {scene}; caches come from scripts/export_megadepth.py
+        "load_features": {
+            "do": False,
+            "path": "exports/megadepth/{scene}_sift_2048.h5",
+            "data_keys": None,  # None = every key in the cache group
+            "padding_length": 2048,
+        },
     }
 
     def _init(self, conf):
@@ -204,7 +304,8 @@ class MegaDepth(BaseDataset):
 
     def get_dataset(self, split):
         if split not in self._splits:
-            self._splits[split] = _PairDataset(self.conf, split, self)
+            cls = _TripletDataset if self.conf.views == 3 else _PairDataset
+            self._splits[split] = cls(self.conf, split, self)
         return self._splits[split]
 
     def sample_new_items(self, seed):

@@ -173,6 +173,21 @@ def gt_matches_from_pose_depth(
     }
 
 
+def _line_dist(a, bl):
+    """Direction-min mean endpoint distance between line sets.
+
+    a: (..., La, 2, 2), bl: (..., Lb, 2, 2) -> (..., La, Lb)."""
+    d_same = (
+        jnp.linalg.norm(a[..., :, None, 0, :] - bl[..., None, :, 0, :], axis=-1)
+        + jnp.linalg.norm(a[..., :, None, 1, :] - bl[..., None, :, 1, :], axis=-1)
+    ) / 2
+    d_flip = (
+        jnp.linalg.norm(a[..., :, None, 0, :] - bl[..., None, :, 1, :], axis=-1)
+        + jnp.linalg.norm(a[..., :, None, 1, :] - bl[..., None, :, 0, :], axis=-1)
+    ) / 2
+    return jnp.minimum(d_same, d_flip)
+
+
 def gt_line_matches_from_homography(
     lines0, lines1, H, pos_th: float = 5.0, neg_th: float = 10.0,
     valid0=None, valid1=None,
@@ -190,20 +205,8 @@ def gt_line_matches_from_homography(
     ep0_1 = warp_points(lines0.reshape(b, -1, 2), H).reshape(b, L0, 2, 2)
     ep1_0 = warp_points(lines1.reshape(b, -1, 2), H, inverse=True).reshape(b, L1, 2, 2)
 
-    def line_dist(a, bl):
-        # a: (..., La, 2, 2), b: (..., Lb, 2, 2) -> (..., La, Lb)
-        d_same = (
-            jnp.linalg.norm(a[..., :, None, 0, :] - bl[..., None, :, 0, :], axis=-1)
-            + jnp.linalg.norm(a[..., :, None, 1, :] - bl[..., None, :, 1, :], axis=-1)
-        ) / 2
-        d_flip = (
-            jnp.linalg.norm(a[..., :, None, 0, :] - bl[..., None, :, 1, :], axis=-1)
-            + jnp.linalg.norm(a[..., :, None, 1, :] - bl[..., None, :, 0, :], axis=-1)
-        ) / 2
-        return jnp.minimum(d_same, d_flip)
-
-    dist0 = line_dist(ep0_1, lines1)
-    dist1 = line_dist(lines0, ep1_0)
+    dist0 = _line_dist(ep0_1, lines1)
+    dist1 = _line_dist(lines0, ep1_0)
     dist = jnp.maximum(dist0, dist1)
     if valid0 is not None:
         dist = jnp.where(valid0[..., :, None], dist, _INF)
@@ -223,10 +226,70 @@ def gt_line_matches_from_homography(
     }
 
 
+def gt_line_matches_from_pose_depth(
+    lines0, lines1, data, pos_th: float = 5.0, neg_th: float = 10.0,
+    valid0=None, valid1=None,
+):
+    """GT line matches by reprojecting endpoints through depth + pose.
+
+    The reference samples points along each line, reprojects them, and solves
+    a Hungarian assignment on CPU (gt_generation.py:410-558). TPU re-design:
+    reproject the two endpoints (depth-sampled, cycle-checked like point GT),
+    score candidate pairs with the direction-min mean endpoint distance, and
+    assign by mutual-min + threshold — fixed-shape and jit-able. A line is
+    labeled only if both endpoints have valid depth and survive the
+    visibility check; otherwise it is IGNORE unless confidently far
+    (UNMATCHED). lines: (B, L, 2, 2) in image coordinates.
+    """
+    camera0, camera1 = data["view0"]["camera"], data["view1"]["camera"]
+    T_0to1, T_1to0 = data["T_0to1"], data["T_1to0"]
+    depth0 = data["view0"]["depth"]
+    depth1 = data["view1"]["depth"]
+
+    b, L0 = lines0.shape[:2]
+    L1 = lines1.shape[1]
+    ep0 = lines0.reshape(b, -1, 2)
+    ep1 = lines1.reshape(b, -1, 2)
+    d0, valid_d0 = sample_depth(ep0, depth0)
+    d1, valid_d1 = sample_depth(ep1, depth1)
+    ep0_1, vis0 = project(ep0, d0, depth1, camera0, camera1, T_0to1, valid_d0)
+    ep1_0, vis1 = project(ep1, d1, depth0, camera1, camera0, T_1to0, valid_d1)
+    ep0_1 = ep0_1.reshape(b, L0, 2, 2)
+    ep1_0 = ep1_0.reshape(b, L1, 2, 2)
+    # a line participates only if both endpoints reproject
+    lvis0 = jnp.all(vis0.reshape(b, L0, 2), axis=-1)
+    lvis1 = jnp.all(vis1.reshape(b, L1, 2), axis=-1)
+    ldep0 = jnp.all(valid_d0.reshape(b, L0, 2), axis=-1)
+    ldep1 = jnp.all(valid_d1.reshape(b, L1, 2), axis=-1)
+    if valid0 is not None:
+        lvis0, ldep0 = lvis0 & valid0, ldep0 & valid0
+    if valid1 is not None:
+        lvis1, ldep1 = lvis1 & valid1, ldep1 & valid1
+
+    dist0 = _line_dist(ep0_1, lines1)
+    dist1 = _line_dist(lines0, ep1_0)
+    dist = jnp.maximum(dist0, dist1)
+    mask = lvis0[..., :, None] & lvis1[..., None, :]
+    dist = jnp.where(mask, dist, _INF)
+
+    positive, min0, min1 = _mutual_assignment(dist**2, pos_th)
+    negative0 = (jnp.min(dist0, axis=-1) > neg_th) & ldep0
+    negative1 = (jnp.min(dist1, axis=-2) > neg_th) & ldep1
+    m0, m1 = _pack_matches(positive, min0, min1, negative0, negative1, valid0, valid1)
+    return {
+        "line_assignment": positive,
+        "line_matches0": m0,
+        "line_matches1": m1,
+        "line_matching_scores0": (m0 > -1).astype(jnp.float32),
+        "line_matching_scores1": (m1 > -1).astype(jnp.float32),
+    }
+
+
 __all__ = [
     "IGNORE_FEATURE",
     "UNMATCHED_FEATURE",
     "gt_matches_from_homography",
     "gt_matches_from_pose_depth",
     "gt_line_matches_from_homography",
+    "gt_line_matches_from_pose_depth",
 ]

@@ -28,6 +28,8 @@ def pad_local_features(pred: dict, n: int) -> dict:
     cur = k.shape[-2]
     mask = np.zeros(n, bool)
     mask[: min(cur, n)] = True
+    if "keypoint_mask" in pred:  # keep invalid slots from an already-padded cache
+        mask[: min(cur, n)] &= pred["keypoint_mask"].astype(bool)[: min(cur, n)]
     out["keypoint_mask"] = mask
 
     def pad(x, fill=0.0):
@@ -37,7 +39,8 @@ def pad_local_features(pred: dict, n: int) -> dict:
         return np.concatenate([x, np.full(pad_shape, fill, x.dtype)], 0)
 
     for key in list(out.keys()):
-        if key in ("keypoints", "descriptors", "keypoint_scores", "scales", "oris"):
+        if key in ("keypoints", "descriptors", "keypoint_scores", "scales", "oris",
+                   "depth_keypoints", "valid_depth_keypoints"):
             out[key] = pad(out[key])
     return out
 

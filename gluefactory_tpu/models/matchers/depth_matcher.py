@@ -6,7 +6,10 @@ geometry.gt_generation.gt_matches_from_pose_depth.
 
 from __future__ import annotations
 
-from ...geometry.gt_generation import gt_matches_from_pose_depth
+from ...geometry.gt_generation import (
+    gt_line_matches_from_pose_depth,
+    gt_matches_from_pose_depth,
+)
 from ..base_model import BaseModel
 
 
@@ -14,6 +17,9 @@ class DepthMatcher(BaseModel):
     default_conf = {
         "name": "depth_matcher",
         "use_points": True,
+        "use_lines": False,  # line GT for GlueStick (reference :18,64-79)
+        "line_th_positive": 5.0,  # endpoint-reprojection distances; replaces
+        "line_th_negative": 10.0,  # the reference's sampled-point Hungarian knobs
         "th_positive": 3.0,
         "th_negative": 5.0,
         "th_epi": None,  # add epipolar-based negatives (reference :15)
@@ -59,6 +65,17 @@ class DepthMatcher(BaseModel):
                 "gt_visible0": gt["visible0"],
                 "gt_visible1": gt["visible1"],
             }
+        if self.conf.use_lines and "lines0" in data:
+            gt_lines = gt_line_matches_from_pose_depth(
+                data["lines0"],
+                data["lines1"],
+                data,
+                pos_th=self.conf.line_th_positive,
+                neg_th=self.conf.line_th_negative,
+                valid0=data.get("line_mask0"),
+                valid1=data.get("line_mask1"),
+            )
+            result.update({f"gt_{k}": v for k, v in gt_lines.items()})
         return result
 
     def loss(self, pred, data):

@@ -22,8 +22,22 @@ def main():
     parser.add_argument("--restore", action="store_true")
     parser.add_argument("--overfit", action="store_true")
     parser.add_argument("--profile", action="store_true")
+    # multi-host: jax.distributed over DCN replaces the reference's
+    # torch.multiprocessing.spawn + NCCL (train.py:691-698)
+    parser.add_argument("--distributed", action="store_true")
+    # jax_debug_nans replaces torch.autograd.set_detect_anomaly (train.py:314)
+    parser.add_argument("--detect_anomaly", action="store_true")
     parser.add_argument("dotlist", nargs="*")
     args = parser.parse_args()
+
+    if args.distributed:
+        from ..parallel.distributed import init_distributed
+
+        init_distributed()
+    if args.detect_anomaly:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
 
     conf = {}
     if args.conf:

@@ -34,6 +34,7 @@ from ..utils.experiments import (
     load_checkpoint,
     save_experiment,
 )
+from ..utils.summary import ExperimentWriter
 from ..utils.tools import AverageMetric, MedianMetric, set_seed
 from .step import TrainState, make_optimizer, make_train_step
 
@@ -60,6 +61,9 @@ default_train_conf = {
     # {benchmark_name: benchmark_conf} run at the end of every epoch on the
     # just-saved checkpoint (reference train.py:376-393)
     "benchmarks": {},
+    # [n_pairs, "import.path.fn"]: build match figures from the first
+    # validation batch (reference `train.plot` conf + visualize_batch)
+    "plot": None,
 }
 
 
@@ -137,7 +141,15 @@ class Trainer:
         self.train_step = jax.jit(step_fn, out_shardings=(repl, repl), donate_argnums=0)
 
         self.eval_fn = jax.jit(self._eval_step)
+        self.pred_fn = jax.jit(self._pred_step)
+        self.writer = ExperimentWriter(self.output_dir) if self.output_dir else None
         return first_batch
+
+    def _pred_step(self, state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return self.model.apply(variables, batch)
 
     def _eval_step(self, state: TrainState, batch):
         variables = {"params": state.params}
@@ -156,6 +168,8 @@ class Trainer:
         count = 0
         for batch in loader:
             batch = shard_batch(batch_to_device(batch), self.mesh)
+            if count == 0 and conf.plot and self.writer is not None:
+                self._plot_batch(batch, it)
             losses, metrics = self.eval_fn(self.state, batch)
             for k, v in {**losses, **metrics}.items():
                 arr = np.asarray(v).reshape(-1)
@@ -170,7 +184,22 @@ class Trainer:
             epoch, it,
             {k: round(float(v), 4) for k, v in results.items() if _isnum(v)},
         )
+        if self.writer is not None:
+            self.writer.scalars(it, results, prefix="val/")
         return results
+
+    def _plot_batch(self, batch, it: int) -> None:
+        """Match-figure hook (reference train.plot conf, train.py:541-579)."""
+        n_pairs, fn_path = self.conf.train.plot
+        mod_path, fn_name = str(fn_path).rsplit(".", 1)
+        fn = getattr(__import__(mod_path, fromlist=[""]), fn_name)
+        try:
+            pred = self.pred_fn(self.state, batch)
+            figs = fn(pred, batch, n_pairs=int(n_pairs))
+            for name, fig in figs.items():
+                self.writer.figure(it, name, fig)
+        except Exception as e:  # noqa: BLE001 - plotting must not kill training
+            logger.warning("plot hook failed: %s", e)
 
     # ------------------------------------------------------------------ train
     def train(self):
@@ -224,6 +253,14 @@ class Trainer:
                             {k: round(float(v), 3) for k, v in losses.items()
                              if k != "total"},
                         )
+                        if self.writer is not None:
+                            self.writer.scalars(
+                                it_total,
+                                {**{f"loss/{k}": v for k, v in losses.items()},
+                                 "it_per_s": conf.log_every_iter / max(dt, 1e-6),
+                                 "epoch": epoch},
+                                prefix="train/",
+                            )
                     if conf.eval_every_iter > 0 and it_total % conf.eval_every_iter == 0:
                         self._validate_and_save(epoch, it_total)
                     if conf.save_every_iter > 0 and it_total % conf.save_every_iter == 0:
@@ -236,6 +273,8 @@ class Trainer:
                 self._run_benchmarks(epoch)
         finally:
             signal.signal(signal.SIGINT, old_handler)
+            if self.writer is not None:
+                self.writer.close()
         return self.state
 
     def _validate_and_save(self, epoch, it_total):

@@ -84,6 +84,34 @@ class TestLineGT:
         np.testing.assert_array_equal(m0[:5], np.arange(5))
         assert np.all(m0[5:] == -1)
 
+    def test_pose_depth_lines(self, rng):
+        from gluefactory_tpu.geometry import Camera, Pose
+        from gluefactory_tpu.geometry.gt_generation import (
+            gt_line_matches_from_pose_depth,
+        )
+
+        cam = Camera.from_params(64, 48, 60.0, 60.0, 32.0, 24.0)
+        T = Pose.from_aa(np.zeros(3), np.array([0.5, 0.0, 0.0]))
+        z = 5.0
+        depth = jnp.full((1, 48, 64), z)  # fronto-parallel plane
+        ep0 = rng.uniform(16, 40, (1, 6, 2, 2)).astype(np.float32)
+        # pure x-translation at constant depth shifts projections by fx*tx/z
+        shift = np.array([60.0 * 0.5 / z, 0.0], np.float32)
+        ep1 = ep0 + shift
+        data = {
+            "view0": {"camera": cam, "depth": depth},
+            "view1": {"camera": cam, "depth": depth},
+            "T_0to1": T,
+            "T_1to0": T.inv(),
+        }
+        valid0 = jnp.asarray(np.array([[1, 1, 1, 1, 1, 0]], bool))
+        out = gt_line_matches_from_pose_depth(
+            jnp.asarray(ep0), jnp.asarray(ep1), data, pos_th=3.0, valid0=valid0
+        )
+        m0 = np.asarray(out["line_matches0"][0])
+        np.testing.assert_array_equal(m0[:5], np.arange(5))
+        assert m0[5] == -2  # padded line -> IGNORE
+
 
 class TestGlueStick:
     def make_data(self, rng, b=1, j=24, L=6, d=32):

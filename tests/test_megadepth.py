@@ -128,6 +128,87 @@ class TestMegaDepthLoader:
         ds.sample_new_items(123)
         assert data.items != items_before or len(data.items) == len(items_before)
 
+    def test_triplets(self, mini_megadepth, monkeypatch):
+        """views=3 samples triplets with all six relative poses
+        (reference megadepth.py:367-463)."""
+        import gluefactory_tpu.datasets.megadepth as md
+
+        monkeypatch.setattr(md, "DATA_PATH", mini_megadepth)
+        from gluefactory_tpu.datasets.megadepth import MegaDepth
+
+        ds = MegaDepth(
+            {
+                "data_dir": "megadepth",
+                "train_split": None,
+                "train_num_per_scene": 4,
+                "views": 3,
+                "grayscale": True,
+                "min_overlap": 0.3,
+                "preprocessing": {"resize": None},
+                "train_batch_size": 2,
+            }
+        )
+        sample = ds.get_dataset("train")[0]
+        for n in range(3):
+            assert sample[f"view{n}"]["image"].shape == (240, 320, 1)
+        # composition consistency: T_0to2 == T_1to2 @ T_0to1
+        comp = sample["T_1to2"] @ sample["T_0to1"]
+        np.testing.assert_allclose(
+            np.asarray(comp.R), np.asarray(sample["T_0to2"].R), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(comp.t), np.asarray(sample["T_0to2"].t), atol=1e-5
+        )
+        assert 0.3 < sample["overlap_0to1"] <= 1.0
+
+    def test_cached_features(self, mini_megadepth, monkeypatch):
+        """load_features mode: views carry padded cached features
+        (reference datasets/megadepth.py:311-329)."""
+        import gluefactory_tpu.datasets.megadepth as md
+        import gluefactory_tpu.models.cache_loader as cl
+
+        monkeypatch.setattr(md, "DATA_PATH", mini_megadepth)
+        monkeypatch.setattr(cl, "DATA_PATH", mini_megadepth)
+        from gluefactory_tpu.datasets.megadepth import MegaDepth
+
+        # fabricate a per-scene feature cache keyed by image path
+        scene = "0000"
+        rng = np.random.RandomState(3)
+        export = mini_megadepth / "exports"
+        export.mkdir(exist_ok=True)
+        with h5py.File(str(export / f"{scene}.h5"), "w") as hf:
+            for i in range(4):
+                g = hf.create_group(f"imgs/{scene}/{i}.jpg")
+                n = 30 + i
+                g["keypoints"] = rng.uniform(0, 200, (n, 2)).astype(np.float32)
+                g["keypoint_scores"] = rng.rand(n).astype(np.float32)
+                g["descriptors"] = rng.randn(n, 16).astype(np.float32)
+
+        ds = MegaDepth(
+            {
+                "data_dir": "megadepth",
+                "train_split": None,
+                "train_num_per_scene": 4,
+                "grayscale": True,
+                "preprocessing": {"resize": None},
+                "train_batch_size": 2,
+                "load_features": {
+                    "do": True,
+                    "path": "exports/{scene}.h5",
+                    "padding_length": 64,
+                },
+            }
+        )
+        sample = ds.get_dataset("train")[0]
+        for view in (sample["view0"], sample["view1"]):
+            cache = view["cache"]
+            assert cache["keypoints"].shape == (64, 2)
+            assert cache["descriptors"].shape == (64, 16)
+            assert cache["keypoint_mask"].sum() >= 30
+        # batches stack the cache dicts
+        batch = next(iter(ds.get_data_loader("train")))
+        assert batch["view0"]["cache"]["keypoints"].shape == (2, 64, 2)
+
     def test_loader_batching(self, mini_megadepth, monkeypatch):
         import gluefactory_tpu.datasets.megadepth as md
 

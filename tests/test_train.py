@@ -52,6 +52,7 @@ def tiny_conf(tmpdir):
             "save_every_iter": -1,
             "log_every_iter": 1,
             "lr": 1e-4,
+            "plot": [1, "gluefactory_tpu.visualization.visualize_batch.make_match_figures"],
         },
     }
 
@@ -166,6 +167,13 @@ class TestTrainerEndToEnd:
         assert trainer.mesh.devices.size == 8  # whole CPU mesh in use
         state = trainer.train()
         assert int(state.step) == 1  # 8 samples / batch 8 = 1 iteration
+
+        # summary writer artifacts: scalar events + plot-hook match figures
+        exp_dir = tmp_path / "test_exp"
+        events = (exp_dir / "events.jsonl").read_text().strip().splitlines()
+        assert any("train/loss/total" in line for line in events)
+        assert any("val/" in line for line in events)
+        assert list((exp_dir / "figures").glob("matching_*.png"))
 
         # checkpoint written at end of epoch; restore and verify params equal
         from gluefactory_tpu.utils.experiments import get_last_checkpoint, load_checkpoint
