@@ -33,8 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale):
     # f32 operands: measured FASTER than bf16 here — at head_dim 64 the
-    # bf16 packing/relayout costs more than the extra f32 MXU passes save
-    q = q_ref[0]  # (BQ, D)
+    # bf16 packing/relayout costs more than the extra f32 MXU passes save.
+    # VPU economy: scale is folded into q (BQxD mults, not BQxN), and the
+    # softmax normalization is applied AFTER the AV matmul ((BQ,D) mults,
+    # not (BQ,N)) — the (BQ,N) tile is touched only by exp and one select.
+    q = q_ref[0] * scale  # (BQ, D)
     k = k_ref[0]  # (N, D)
     v = v_ref[0]  # (N, D)
     mask_q = maskq_ref[0, :, 0]  # (BQ,) int32 (bool as int)
@@ -44,7 +47,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, N) f32
+    )  # (BQ, N) f32
 
     neg = jnp.float32(-1e9)
     colmask = (mask_k > 0)[None, :]
@@ -53,13 +56,13 @@ def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale
     rowmax = jnp.maximum(rowmax, neg)  # finite even if all columns masked
     e = jnp.where(colmask, jnp.exp(sim - rowmax), 0.0)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / (denom + 1e-30)
 
     o = jax.lax.dot_general(
-        p.astype(v.dtype), v,
+        e.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    o = o * (1.0 / (denom + 1e-30))
     o = o * (mask_q > 0)[:, None]
     o_ref[0] = o.astype(o_ref.dtype)
 
@@ -328,15 +331,17 @@ def _bidir_cross_kernel(
     pair_f = row_f * col_f
     sim = sim * pair_f + neg * (1.0 - pair_f)
 
-    # direction 0<-1: full row softmax (set-1 axis resident)
+    # direction 0<-1: full row softmax (set-1 axis resident). The softmax
+    # normalization is applied AFTER the AV matmul ((BQ,D) mults instead of
+    # a (BQ,N) divide) — same VPU economy as _attention_kernel.
     rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), neg)
     e_row = jnp.exp(sim - rowmax) * col_f
     denom_row = jnp.sum(e_row, axis=-1, keepdims=True)
-    p_row = e_row / (denom_row + 1e-30)
     m0 = jax.lax.dot_general(
-        p_row.astype(v1.dtype), v1, dimension_numbers=(((1,), (0,)), ((), ())),
+        e_row.astype(v1.dtype), v1, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    m0 = m0 * (1.0 / (denom_row + 1e-30))
     m0_ref[0] = (m0 * row_f).astype(m0_ref.dtype)
 
     # direction 1<-0: online column softmax across q blocks

@@ -27,6 +27,9 @@ def main():
     parser.add_argument("--distributed", action="store_true")
     # jax_debug_nans replaces torch.autograd.set_detect_anomaly (train.py:314)
     parser.add_argument("--detect_anomaly", action="store_true")
+    # run the config's `benchmarks:` overlays at the end of every epoch
+    # (reference --run_benchmarks, train.py:376-393)
+    parser.add_argument("--run_benchmarks", action="store_true")
     parser.add_argument("dotlist", nargs="*")
     args = parser.parse_args()
 
@@ -46,6 +49,8 @@ def main():
             path = Path(__file__).parent.parent / "configs" / args.conf
         conf = load_yaml(path)
     conf = merge(conf, parse_dotlist(args.dotlist))
+    if args.run_benchmarks and conf.get("benchmarks"):
+        conf = merge(conf, {"train": {"benchmarks": conf["benchmarks"]}})
     if args.overfit:
         conf = merge(conf, {"train": {"overfit": True}})
     if args.profile:

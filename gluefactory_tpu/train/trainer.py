@@ -302,6 +302,8 @@ class Trainer:
             try:
                 summaries, _ = run_benchmark(name, bconf, out)
                 logger.info("[Benchmark %s @ epoch %d] %s", name, epoch, summaries)
+                if self.writer is not None:
+                    self.writer.scalars(epoch, summaries, prefix=f"bench/{name}/")
             except Exception as e:  # noqa: BLE001 - benchmarks must not kill training
                 logger.warning("Benchmark %s failed: %s", name, e)
 
