@@ -156,3 +156,108 @@ class TestMPDatasetBridge:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
+
+
+class TestSyntheticShapes:
+    def test_samples_and_gt(self):
+        from gluefactory_tpu.multipoint.datasets.synthetic_shapes import (
+            SyntheticShapes,
+        )
+
+        ds = SyntheticShapes(
+            {
+                "length": 6,
+                "generation_size": [240, 320],
+                "image_size": [120, 160],
+                "max_keypoints": 64,
+            }
+        )
+        split = ds.get_dataset("train")
+        assert len(split) == 6
+        seen_kpts = False
+        for i in range(4):
+            s = split[i]
+            assert s["image"].shape == (120, 160, 1)
+            assert s["keypoint_map"].shape == (120, 160)
+            assert s["keypoints"].shape == (64, 2)
+            n = int(s["keypoint_mask"].sum())
+            # map and padded points agree
+            assert int(s["keypoint_map"].sum()) <= max(n, 1) * 2
+            if n:
+                seen_kpts = True
+                kp = s["keypoints"][s["keypoint_mask"]]
+                assert kp[:, 0].max() <= 159 and kp[:, 1].max() <= 119
+                ys = kp[:, 1].round().astype(int)
+                xs = kp[:, 0].round().astype(int)
+                assert s["keypoint_map"][ys, xs].min() == 1.0
+            assert s["image"].min() >= 0.0 and s["image"].max() <= 1.0
+        assert seen_kpts
+        # deterministic per index
+        a, b = split[0], split[0]
+        np.testing.assert_array_equal(a["image"], b["image"])
+
+    def test_batched_loader(self):
+        from gluefactory_tpu.multipoint.datasets.synthetic_shapes import (
+            SyntheticShapes,
+        )
+
+        ds = SyntheticShapes(
+            {
+                "length": 4,
+                "generation_size": [120, 160],
+                "image_size": [120, 160],
+                "train_batch_size": 2,
+                "num_workers": 0,
+            }
+        )
+        batch = next(iter(ds.get_data_loader("train")))
+        assert batch["image"].shape == (2, 120, 160, 1)
+        assert batch["keypoint_map"].shape == (2, 120, 160)
+
+
+class TestClassicDetectors:
+    def test_lghd_multispectral_matching(self, rng):
+        """LGHD descriptors match across a synthetic modality gap where raw
+        intensities anti-correlate (the multispectral use case)."""
+        from gluefactory_tpu.multipoint.datasets.image_pair_dataset import (
+            synthetic_thermal,
+        )
+        from gluefactory_tpu.datasets.homographies import generate_texture_image
+
+        r = np.random.RandomState(0)
+        optical = generate_texture_image(r, (160, 120))
+        thermal = synthetic_thermal(optical, r)
+
+        model = get_model(
+            "gluefactory_tpu.multipoint.models.classic_detectors"
+        ).from_conf({"method": "lghd", "max_num_keypoints": 128})
+        p0 = model({"image": jnp.asarray(optical[None])})
+        p1 = model({"image": jnp.asarray(thermal[None])})
+        assert p0["descriptors"].shape[-1] == 4 * 16 * 6
+        assert int(p0["keypoint_mask"].sum()) > 10
+        assert p0["prob"].shape == (1, 120, 160)
+
+        # same-location keypoints should agree in descriptor space more than
+        # random pairs despite the inverted modality
+        k0 = np.asarray(p0["keypoints"][0])
+        k1 = np.asarray(p1["keypoints"][0])
+        d0 = np.asarray(p0["descriptors"][0])
+        d1 = np.asarray(p1["descriptors"][0])
+        m0, m1 = np.asarray(p0["keypoint_mask"][0]), np.asarray(p1["keypoint_mask"][0])
+        dist = np.linalg.norm(k0[m0][:, None] - k1[m1][None], axis=-1)
+        close = dist < 3.0
+        if close.any():
+            sim = d0[m0] @ d1[m1].T
+            assert sim[close].mean() > sim[~close].mean()
+
+    def test_sift_backend(self, rng):
+        from gluefactory_tpu.datasets.homographies import generate_texture_image
+
+        r = np.random.RandomState(1)
+        img = generate_texture_image(r, (160, 120))
+        model = get_model(
+            "gluefactory_tpu.multipoint.models.classic_detectors"
+        ).from_conf({"method": "sift", "max_num_keypoints": 64})
+        out = model({"image": jnp.asarray(img[None])})
+        assert out["descriptors"].shape == (1, 64, 128)
+        assert int(out["keypoint_mask"].sum()) > 0
