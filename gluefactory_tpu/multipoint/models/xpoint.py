@@ -99,42 +99,169 @@ class _SwinLiteEncoder(nn.Module):
         return x
 
 
+class _ViTEncoder(nn.Module):
+    """SimpleViT-style global-attention encoder (reference SimpleViT.py:81):
+    stride-8 patch embed + 2D sin-cos positions + pre-norm transformer."""
+
+    dim: int = 96
+    depth: int = 4
+    heads: int = 4
+
+    @nn.compact
+    def __call__(self, x, is_training: bool):
+        x = nn.Conv(self.dim, (8, 8), strides=(8, 8), padding="VALID")(x)
+        b, h, w, c = x.shape
+        # 2D sin-cos positional embedding (SimpleViT posemb_sincos_2d)
+        yy, xx = jnp.meshgrid(jnp.arange(h), jnp.arange(w), indexing="ij")
+        omega = 1.0 / (10000 ** (jnp.arange(c // 4) / max(c // 4 - 1, 1)))
+        py = yy.reshape(-1, 1) * omega[None]
+        px = xx.reshape(-1, 1) * omega[None]
+        pos = jnp.concatenate(
+            [jnp.sin(px), jnp.cos(px), jnp.sin(py), jnp.cos(py)], axis=-1
+        )
+        tokens = x.reshape(b, h * w, c) + pos[None, :, : c]
+        dh = self.dim // self.heads
+        for _ in range(self.depth):
+            y = nn.LayerNorm()(tokens)
+            qkv = nn.Dense(3 * self.dim)(y)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            split = lambda t: t.reshape(b, -1, self.heads, dh).transpose(0, 2, 1, 3)
+            q, k, v = split(q), split(k), split(v)
+            attn = jax.nn.softmax(
+                jnp.einsum("bhld,bhmd->bhlm", q, k,
+                           preferred_element_type=jnp.float32) / dh**0.5, -1)
+            o = jnp.einsum("bhlm,bhmd->bhld", attn, v)
+            o = o.transpose(0, 2, 1, 3).reshape(b, -1, self.dim)
+            tokens = tokens + nn.Dense(self.dim)(o)
+            y = nn.LayerNorm()(tokens)
+            y = nn.Dense(4 * self.dim)(y)
+            tokens = tokens + nn.Dense(self.dim)(nn.gelu(y))
+        return tokens.reshape(b, h, w, self.dim)
+
+
+class _CBAMBlock(nn.Module):
+    """Convolutional block attention (reference cbam.py:84): channel gate
+    from mean+max pooled MLP, then spatial gate from channel mean/max."""
+
+    dim: int
+    reduction: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        mlp = nn.Sequential([nn.Dense(self.dim // self.reduction), nn.relu,
+                             nn.Dense(self.dim)])
+        gate = jax.nn.sigmoid(
+            mlp(x.mean(axis=(1, 2))) + mlp(x.max(axis=(1, 2)))
+        )
+        x = x * gate[:, None, None, :]
+        pooled = jnp.stack([x.mean(-1), x.max(-1)], axis=-1)  # (B, H, W, 2)
+        spatial = jax.nn.sigmoid(nn.Conv(1, (7, 7), padding="SAME")(pooled))
+        return x * spatial
+
+
+class _CBAMEncoder(nn.Module):
+    """VGG-style conv encoder with CBAM attention after each stage."""
+
+    dim: int = 96
+    depth: int = 3  # stride-2 stages -> 1/8 resolution
+
+    @nn.compact
+    def __call__(self, x, is_training: bool):
+        c = self.dim // 2
+        for i in range(self.depth):
+            c = min(c * 2, self.dim) if i else c
+            x = nn.Conv(c, (3, 3), strides=(2, 2), padding="SAME")(x)
+            x = nn.relu(x)
+            x = nn.Conv(c, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+            x = _CBAMBlock(c)(x)
+        return nn.Conv(self.dim, (3, 3), padding="SAME")(x)
+
+
+_BACKBONES = {
+    "swin": _SwinLiteEncoder,
+    "vit": _ViTEncoder,
+    "cbam": _CBAMEncoder,
+    # restoration-net backbones of the reference (SwinIR / SCUNet) map to the
+    # windowed-attention encoder: zero-egress, their pretrained weights are
+    # unavailable, and at 1/8 features the swin-lite is the closest native fit
+    "swinir": _SwinLiteEncoder,
+    "scunet": _SwinLiteEncoder,
+}
+
+
 class XPoint(MultiPoint):
-    """MultiPoint with a windowed-attention backbone (+ optional homography
-    regression head)."""
+    """MultiPoint with a configurable attention backbone (+ optional
+    homography regression head). `backbone`: swin | vit | cbam
+    (swinir/scunet alias to swin)."""
 
     default_conf = {
         "name": "xpoint",
+        "backbone": "swin",
         "backbone_dim": 96,
         "backbone_depth": 4,
         "window": 8,
         "homography_head": False,
     }
 
+    def _make_encoder(self):
+        conf = self.conf
+        cls = _BACKBONES[conf.backbone]
+        if cls is _SwinLiteEncoder:
+            return cls(conf.backbone_dim, conf.backbone_depth, conf.window)
+        if cls is _CBAMEncoder:
+            return cls(conf.backbone_dim)  # stage count fixed at 1/8 stride
+        return cls(conf.backbone_dim, conf.backbone_depth)
+
     def setup(self):
         conf = self.conf
-        dim = conf.backbone_dim
         if conf.multispectral:
-            self.encoder_optical = _SwinLiteEncoder(dim, conf.backbone_depth, conf.window)
-            self.encoder_thermal = _SwinLiteEncoder(dim, conf.backbone_depth, conf.window)
+            self.encoder_optical = self._make_encoder()
+            self.encoder_thermal = self._make_encoder()
         else:
-            self.encoder = _SwinLiteEncoder(dim, conf.backbone_depth, conf.window)
+            self.encoder = self._make_encoder()
         cell2 = conf.cell**2
         self.detector_head = _Head(conf.head_channels, cell2 + 1)
         if conf.descriptor_head:
             self.descriptor_head = _Head(conf.head_channels, conf.descriptor_size)
-        if conf.homography_head:
-            self.h_head = nn.Sequential(
-                [nn.Dense(256), nn.relu, nn.Dense(128), nn.relu, nn.Dense(8)]
-            )
+        # homography head types mirror the reference's
+        # homography_regression_head registry (MultiPoint.py:95-110):
+        # pool = HomographyNet, srhen = SRHENNet (width<1 = the Lighter
+        # variant), ms2cahe = MS2CAHENet cross-attention
+        self.h_type = None
+        h = conf.homography_head
+        if h:
+            width = 1.0
+            if isinstance(h, str):
+                self.h_type = h
+            elif hasattr(h, "get"):
+                self.h_type = h.get("type", "pool")
+                width = float(h.get("width", 1.0))
+            else:  # bool True: original pooled head
+                self.h_type = "pool"
+            if self.h_type == "pool":
+                self.h_head = nn.Sequential(
+                    [nn.Dense(256), nn.relu, nn.Dense(128), nn.relu, nn.Dense(8)]
+                )
+            elif self.h_type == "srhen":
+                from .homography_net import CorrelationHomographyHead
+
+                self.h_head = CorrelationHomographyHead(width)
+            elif self.h_type == "ms2cahe":
+                from .homography_net import CrossAttentionHomographyHead
+
+                self.h_head = CrossAttentionHomographyHead()
+            else:
+                raise ValueError(f"unknown homography head {self.h_type}")
 
     def regress_homography(self, feats0, feats1):
-        """4-point homography offsets from pooled pair features
-        (reference HomographyNet-style head)."""
-        f = jnp.concatenate(
-            [feats0.mean(axis=(1, 2)), feats1.mean(axis=(1, 2))], axis=-1
-        )
-        return self.h_head(f).reshape(-1, 4, 2)
+        """4-point homography offsets from the pair's backbone features."""
+        if self.h_type == "pool":
+            f = jnp.concatenate(
+                [feats0.mean(axis=(1, 2)), feats1.mean(axis=(1, 2))], axis=-1
+            )
+            return self.h_head(f).reshape(-1, 4, 2)
+        return self.h_head(feats0, feats1)
 
 
 __main_model__ = XPoint

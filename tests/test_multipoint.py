@@ -261,3 +261,66 @@ class TestClassicDetectors:
         out = model({"image": jnp.asarray(img[None])})
         assert out["descriptors"].shape == (1, 64, 128)
         assert int(out["keypoint_mask"].sum()) > 0
+
+
+class TestXPointBackbones:
+    @pytest.mark.parametrize("backbone", ["vit", "cbam", "swinir"])
+    def test_forward(self, backbone, rng):
+        model = get_model("gluefactory_tpu.multipoint.models.xpoint").from_conf(
+            {
+                "backbone": backbone,
+                "backbone_dim": 16,
+                "backbone_depth": 2,
+                "head_channels": 16,
+                "descriptor_size": 16,
+                "max_num_keypoints": 16,
+            }
+        )
+        img = jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)
+        data = {"image": img, "is_optical": jnp.asarray([True, False])}
+        params = model.init(jax.random.PRNGKey(0), data)
+        pred = model.apply(params, data)
+        assert pred["prob"].shape == (2, 64, 64)
+        assert pred["dense_descriptors"].shape[-1] == 16
+
+
+class TestHomographyNet:
+    def test_identity_supervision(self, rng):
+        from gluefactory_tpu.multipoint.models.homography_net import h_to_4pt
+
+        model = get_model(
+            "gluefactory_tpu.multipoint.models.homography_net"
+        ).from_conf({"channels": [8, 8, 16], "fc_dim": 16})
+        data = {
+            "view0": {"image": jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)},
+            "view1": {"image": jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)},
+            "H_0to1": jnp.tile(jnp.eye(3), (2, 1, 1)),
+        }
+        params = model.init(jax.random.PRNGKey(0), data)
+        pred = model.apply(params, data)
+        assert pred["h_4pt"].shape == (2, 4, 2)
+        losses, metrics = model.apply(params, pred, data, method="loss")
+        assert losses["total"].shape == (2,)
+        # identity homography -> zero GT offsets
+        gt = h_to_4pt(data["H_0to1"], (64, 64))
+        np.testing.assert_allclose(np.asarray(gt), 0.0, atol=1e-5)
+
+
+class TestHomographyHeads:
+    @pytest.mark.parametrize("htype", ["pool", "srhen", "ms2cahe"])
+    def test_regress_from_features(self, htype, rng):
+        model = get_model("gluefactory_tpu.multipoint.models.xpoint").from_conf(
+            {
+                "backbone_dim": 16,
+                "backbone_depth": 1,
+                "head_channels": 16,
+                "descriptor_size": 16,
+                "homography_head": {"type": htype, "width": 0.5},
+            }
+        )
+        f0 = jnp.asarray(rng.rand(2, 8, 8, 16), jnp.float32)
+        f1 = jnp.asarray(rng.rand(2, 8, 8, 16), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), f0, f1, method="regress_homography")
+        out = model.apply(params, f0, f1, method="regress_homography")
+        assert out.shape == (2, 4, 2)
+        assert np.isfinite(np.asarray(out)).all()
