@@ -207,6 +207,16 @@ class Trainer:
         if self.output_dir:
             self.output_dir.mkdir(parents=True, exist_ok=True)
             save_yaml(merge({}, self.conf), self.output_dir / "config.yaml")
+            # code-version pinning: snapshot the package source into the
+            # experiment dir (reference train.py:686-689)
+            src_dst = self.output_dir / "source" / "gluefactory_tpu"
+            if not src_dst.exists():
+                import shutil
+
+                shutil.copytree(
+                    Path(__file__).parent.parent, src_dst,
+                    ignore=shutil.ignore_patterns("__pycache__", "*.pyc", ".jax_cache"),
+                )
 
         def on_sigint(signum, frame):
             if self.stop_requested:

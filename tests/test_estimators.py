@@ -194,3 +194,26 @@ class TestHybridPointLineRansac:
         )
         assert float(err[0]) < 2.0
         assert out["line_inliers"].shape == (12,)
+
+
+class TestEstimatorAliases:
+    def test_reference_names_resolve(self):
+        from gluefactory_tpu.estimators.base_estimator import load_estimator
+        from gluefactory_tpu.estimators.homography.hybrid_pl import (
+            HybridPointLineHomography,
+        )
+        from gluefactory_tpu.estimators.homography.jax_ransac import (
+            JaxRansacHomography,
+        )
+        from gluefactory_tpu.estimators.relative_pose.jax_ransac import (
+            JaxRansacRelativePose,
+        )
+
+        # reference config estimator names work unchanged
+        assert load_estimator("homography", "poselib") is JaxRansacHomography
+        assert (
+            load_estimator("homography", "homography_est")
+            is HybridPointLineHomography
+        )
+        assert load_estimator("relative_pose", "poselib") is JaxRansacRelativePose
+        assert load_estimator("relative_pose", "pycolmap") is JaxRansacRelativePose

@@ -200,3 +200,20 @@ class TestTrainerEndToEnd:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
+
+
+def test_source_snapshot(tmp_path, monkeypatch):
+    """Training pins a copy of the package source in the experiment dir
+    (reference train.py:686-689)."""
+    import gluefactory_tpu.settings as settings_mod
+    import gluefactory_tpu.utils.experiments as exps
+
+    monkeypatch.setattr(settings_mod, "TRAINING_PATH", tmp_path)
+    monkeypatch.setattr(exps, "TRAINING_PATH", tmp_path)
+    conf = tiny_conf(tmp_path)
+    trainer = Trainer(conf, "snap_exp", tmp_path / "snap_exp")
+    trainer.build()
+    trainer.train()
+    snap = tmp_path / "snap_exp" / "source" / "gluefactory_tpu"
+    assert (snap / "train" / "trainer.py").exists()
+    assert (snap / "models" / "matchers" / "lightglue.py").exists()
