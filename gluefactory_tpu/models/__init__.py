@@ -35,7 +35,11 @@ def get_model(name: str):
         f"{__name__}.lines.{name}",
     ]
     for path in import_paths:
-        if importlib.util.find_spec(path) is not None:
+        try:
+            found = importlib.util.find_spec(path) is not None
+        except ModuleNotFoundError:  # nonexistent parent package
+            found = False
+        if found:
             return get_class(path, BaseModel)
     raise RuntimeError(f"Model {name} not found in any of [{' '.join(import_paths)}]")
 

@@ -1,22 +1,25 @@
 """LSD line segment detector.
 
 Counterpart of reference gluefactory/models/lines/lsd.py:9-81 (pytlsd C++).
-pytlsd is not available here; OpenCV's LSD implementation (same algorithm) is
-wrapped in `jax.pure_callback` with fixed-shape padded outputs, so the
-detector composes with jitted pipelines like the SIFT extractor.
+The default backend is the framework's own native C++ implementation of the
+published LSD algorithm (gluefactory_tpu/native/lsd.cpp, von Gioi IPOL 2012)
+— the same algorithm pytlsd binds — scoring lines by -log10(NFA)*sqrt(len)
+like the reference (:42). OpenCV's LSD is kept as a cross-check/fallback
+backend. Both are wrapped in `jax.pure_callback` with fixed-shape padded
+outputs, so the detector composes with jitted pipelines like the SIFT
+extractor.
 
-Outputs: lines (B, L, 2, 2) endpoint pairs, line_scores (B, L) (sqrt-length
-weighted, normalized per image like reference wireframe.py:176-178),
-line_mask (B, L).
+Outputs: lines (B, L, 2, 2) endpoint pairs, line_scores (B, L) (normalized
+per image like reference wireframe.py:176-178), line_mask (B, L).
 """
 
 from __future__ import annotations
 
-import cv2
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ... import native
 from ..base_model import BaseModel
 
 
@@ -25,8 +28,26 @@ class LSD(BaseModel):
         "name": "lsd",
         "max_num_lines": 250,
         "min_length": 15.0,
+        "backend": "native",  # native C++ LSD | "opencv" cross-check
     }
     required_data_keys = ["image"]
+
+    def _detect_single(self, img: np.ndarray):
+        """Detect on one grayscale float image -> (segs (n,2,2), nfa (n,))."""
+        if self.conf.backend == "native" and native.available():
+            rows = native.lsd_detect(img)
+            if rows is None or len(rows) == 0:
+                return np.zeros((0, 2, 2), np.float32), np.zeros((0,), np.float32)
+            return rows[:, :4].reshape(-1, 2, 2), np.maximum(rows[:, 6], 0.0)
+        import cv2
+
+        img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
+        det = cv2.createLineSegmentDetector().detect(img_u8)[0]
+        if det is None or len(det) == 0:
+            return np.zeros((0, 2, 2), np.float32), np.zeros((0,), np.float32)
+        segs = det.reshape(-1, 2, 2)
+        # OpenCV does not expose NFA by default: neutral unit weight
+        return segs, np.ones((len(segs),), np.float32)
 
     def _host_detect(self, images: np.ndarray):
         conf = self.conf
@@ -35,20 +56,18 @@ class LSD(BaseModel):
         lines = np.zeros((b, L, 2, 2), np.float32)
         scores = np.zeros((b, L), np.float32)
         mask = np.zeros((b, L), bool)
-        lsd = cv2.createLineSegmentDetector()
         for i in range(b):
-            img = images[i, ..., 0] if images.shape[-1] == 1 else cv2.cvtColor(
-                images[i], cv2.COLOR_RGB2GRAY
+            img = images[i, ..., 0] if images.shape[-1] == 1 else (
+                images[i] @ np.array([0.299, 0.587, 0.114], np.float32)
             )
-            img_u8 = np.clip(img * 255.0, 0, 255).astype(np.uint8)
-            det = lsd.detect(img_u8)[0]
-            if det is None or len(det) == 0:
+            segs, nfa = self._detect_single(np.asarray(img, np.float32))
+            if len(segs) == 0:
                 continue
-            segs = det.reshape(-1, 2, 2)
             lengths = np.linalg.norm(segs[:, 1] - segs[:, 0], axis=-1)
             keep = lengths >= conf.min_length
-            segs, lengths = segs[keep], lengths[keep]
-            sc = np.sqrt(lengths)  # reference score ~ sqrt(length)
+            segs, lengths, nfa = segs[keep], lengths[keep], nfa[keep]
+            # reference score = nfa * sqrt(length) (lsd.py:42)
+            sc = nfa * np.sqrt(lengths)
             order = np.argsort(-sc)[:L]
             segs, sc = segs[order], sc[order]
             n = len(segs)

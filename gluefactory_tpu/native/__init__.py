@@ -9,6 +9,7 @@ API:
     rgb_to_gray(img) -> gray
     brightness_contrast(img, alpha, beta) -> adjusted
     resize_bilinear(img, (w, h)) -> resized
+    lsd_detect(gray) -> (n, 7) segments, or None if the library is unavailable
     available() -> bool
 """
 
@@ -22,15 +23,15 @@ import numpy as np
 
 _HERE = Path(__file__).parent
 _LIB_PATH = _HERE / "libwarp_ops.so"
+_SOURCES = [_HERE / "warp_ops.cpp", _HERE / "lsd.cpp"]
 _lib = None
 _build_failed = False
 
 
 def _build() -> bool:
-    src = _HERE / "warp_ops.cpp"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-std=c++17",
-        str(src), "-o", str(_LIB_PATH),
+        *[str(s) for s in _SOURCES], "-o", str(_LIB_PATH),
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -48,9 +49,9 @@ def _load():
     global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
-    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < (
-        _HERE / "warp_ops.cpp"
-    ).stat().st_mtime:
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < max(
+        s.stat().st_mtime for s in _SOURCES
+    ):
         if not _build():
             _build_failed = True
             return None
@@ -69,6 +70,12 @@ def _load():
         f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         f32p, ctypes.c_int, ctypes.c_int,
     ]
+    lib.lsd_detect_f32.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_float, ctypes.c_float, ctypes.c_int, f32p, ctypes.c_int,
+    ]
+    lib.lsd_detect_f32.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -141,7 +148,41 @@ def resize_bilinear(img: np.ndarray, size) -> np.ndarray:
     return out
 
 
+def lsd_detect(
+    gray: np.ndarray,
+    scale: float = 0.8,
+    sigma_scale: float = 0.6,
+    quant: float = 2.0,
+    ang_th: float = 22.5,
+    log_eps: float = 0.0,
+    density_th: float = 0.7,
+    n_bins: int = 1024,
+    max_segments: int = 8192,
+):
+    """Detect line segments with the native LSD implementation (lsd.cpp).
+
+    `gray` is a float32 (H, W) image in [0, 1]. Returns an (n, 7) float32
+    array of (x1, y1, x2, y2, width, precision, -log10 NFA) rows, or None
+    when the native library could not be built (caller should fall back).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    gray = np.ascontiguousarray(gray, np.float32)
+    if gray.ndim == 3:
+        gray = gray[..., 0] if gray.shape[-1] == 1 else (
+            gray @ np.array([0.299, 0.587, 0.114], np.float32)
+        )
+    h, w = gray.shape
+    out = np.empty((max_segments, 7), np.float32)
+    n = lib.lsd_detect_f32(
+        _fptr(gray), h, w, scale, sigma_scale, quant, ang_th,
+        log_eps, density_th, n_bins, _fptr(out), max_segments,
+    )
+    return out[:n].copy()
+
+
 __all__ = [
     "warp_perspective", "brightness_contrast", "rgb_to_gray",
-    "resize_bilinear", "available",
+    "resize_bilinear", "lsd_detect", "available",
 ]
