@@ -86,7 +86,7 @@ class ETH3DPipeline(EvalPipeline):
             return pred_file
         from .export_helper import make_export_apply_fn
 
-        apply_fn, state = make_export_apply_fn(dict(self.conf.model))
+        apply_fn, state = make_export_apply_fn(dict(self.conf.model), live_params=model)
         export_predictions(
             tqdm(self.get_dataloader()), apply_fn, pred_file,
             keys=self.export_keys, optional_keys=self.optional_export_keys,

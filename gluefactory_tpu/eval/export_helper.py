@@ -22,9 +22,14 @@ from ..utils.config import to_dict
 HOST_EXTRACTORS = {"sift", "lsd", "wireframe"}
 
 
-def make_export_apply_fn(model_conf: dict):
+def make_export_apply_fn(model_conf: dict, live_params=None):
     """Returns apply_fn(batch)->pred for the export phase, handling host
-    extractors. Lazily initializes parameters from the first batch."""
+    extractors. Lazily initializes parameters from the first batch.
+
+    `live_params`: optional params dict from a live training run (reference
+    passes the in-memory model to run_benchmark, eval/__init__.py:11-20);
+    matching top-level component subtrees override both the random init and
+    any checkpoint overlay."""
     model_conf = to_dict(model_conf)
     extractor_conf = model_conf.get("extractor") or {}
     host_extract = extractor_conf.get("name") in HOST_EXTRACTORS
@@ -78,6 +83,15 @@ def make_export_apply_fn(model_conf: dict):
                 for k in params:
                     if k in trained:
                         params[k] = trained[k]
+                variables = {**variables, "params": params}
+            if live_params is not None and "params" in variables:
+                import jax as _jax
+
+                live = dict(live_params)
+                params = dict(variables["params"])
+                for k in params:
+                    if k in live:
+                        params[k] = _jax.tree.map(np.asarray, live[k])
                 variables = {**variables, "params": params}
             state["variables"] = variables
         if state["jit_fn"] is None:

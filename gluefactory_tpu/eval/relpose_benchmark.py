@@ -60,9 +60,7 @@ class RelPoseBenchmarkPipeline(EvalPipeline):
         loader = self.get_dataloader()
         from .export_helper import make_export_apply_fn
 
-        if model is not None:
-            raise NotImplementedError("external model override not wired yet")
-        apply_fn, state = make_export_apply_fn(dict(self.conf.model))
+        apply_fn, state = make_export_apply_fn(dict(self.conf.model), live_params=model)
         if self._variables is not None:
             state["variables"] = self._variables
 

@@ -310,7 +310,9 @@ class Trainer:
             bconf = merge({}, bconf, {"model": {"checkpoint": self.experiment}})
             out = (self.output_dir or Path(".")) / "benchmarks" / name
             try:
-                summaries, _ = run_benchmark(name, bconf, out)
+                # pass the live params (reference passes the in-memory model,
+                # train.py:381-393); the checkpoint stays as fallback
+                summaries, _ = run_benchmark(name, bconf, out, model=self.state.params)
                 logger.info("[Benchmark %s @ epoch %d] %s", name, epoch, summaries)
                 if self.writer is not None:
                     self.writer.scalars(epoch, summaries, prefix=f"bench/{name}/")

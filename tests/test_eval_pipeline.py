@@ -150,3 +150,40 @@ class TestEvalIoCheckpointConf:
         assert "is_training" not in conf["model"]["matcher"]
         assert "ground_truth" not in conf["model"]
         assert conf["model"]["checkpoint"] == "my_exp"
+
+
+class TestLiveParamsOverride:
+    def test_live_params_take_effect(self):
+        """run_benchmark(model=params) must overlay the live training params
+        onto the export model (reference passes the in-memory model,
+        eval/__init__.py:11-20)."""
+        import jax
+        import numpy as np
+
+        from gluefactory_tpu.eval.export_helper import make_export_apply_fn
+
+        conf = {
+            "extractor": {
+                "name": "superpoint_open", "max_num_keypoints": 32,
+                "channels": [8, 8, 16], "descriptor_dim": 32,
+                "detection_threshold": 0.0,
+            },
+            "matcher": {"name": "nearest_neighbor_matcher"},
+        }
+        rng = np.random.RandomState(0)
+        img = rng.rand(1, 64, 64, 1).astype(np.float32)
+        batch = {
+            "view0": {"image": img},
+            "view1": {"image": img[:, ::-1].copy()},
+        }
+        apply_fn, state = make_export_apply_fn(dict(conf))
+        apply_fn(batch)
+        base = state["variables"]["params"]
+
+        live = {"extractor": jax.tree.map(lambda x: x + 1.0, base["extractor"])}
+        apply_fn2, state2 = make_export_apply_fn(dict(conf), live_params=live)
+        apply_fn2(batch)
+        got = jax.tree.leaves(state2["variables"]["params"]["extractor"])
+        want = jax.tree.leaves(live["extractor"])
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w))
