@@ -49,12 +49,16 @@ def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale
         preferred_element_type=jnp.float32,
     )  # (BQ, N) f32
 
-    neg = jnp.float32(-1e9)
-    colmask = (mask_k > 0)[None, :]
-    sim = jnp.where(colmask, sim, neg)
-    rowmax = jnp.max(sim, axis=-1, keepdims=True)
-    rowmax = jnp.maximum(rowmax, neg)  # finite even if all columns masked
-    e = jnp.where(colmask, jnp.exp(sim - rowmax), 0.0)
+    # Masking by ADDITIVE bias, one (BQ, N) pass: masked columns get -1e9,
+    # and after the (clamped) rowmax subtraction their exp underflows to an
+    # EXACT f32 zero (e^(-1e9+1e4) == 0), so no select/multiply passes are
+    # needed on the (BQ, N) tile. The -1e4 clamp keeps sim - rowmax <= 0 on
+    # any row that has at least one valid column (no exp overflow) and sends
+    # fully-masked rows to e == 0 everywhere (denom 0 -> o 0).
+    colbias = (mask_k.astype(jnp.float32) - 1.0) * 1e9  # (N,)
+    sim = sim + colbias[None, :]
+    rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), -1e4)
+    e = jnp.exp(sim - rowmax)
     denom = jnp.sum(e, axis=-1, keepdims=True)
 
     o = jax.lax.dot_general(
@@ -62,8 +66,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o = o * (1.0 / (denom + 1e-30))
-    o = o * (mask_q > 0)[:, None]
+    o = o * (mask_q.astype(jnp.float32)[:, None] / (denom + 1e-30))
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -323,26 +326,28 @@ def _bidir_cross_kernel(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    neg = jnp.float32(-1e9)
-    # cast masks to f32 BEFORE inserting a minor dim: Mosaic only supports
-    # non-trivial minor-dim insertion for 32-bit types
+    # Masking by ADDITIVE bias (see _attention_kernel): one broadcast add on
+    # the (BQ, N) tile covers BOTH directions — masked rows/columns carry
+    # -1e9 and their exp underflows to an exact zero after the clamped max
+    # subtraction, so no pair-mask multiply passes are needed.
+    # (Masks arrive as f32-compatible ints; Mosaic only supports non-trivial
+    # minor-dim insertion for 32-bit types, hence the f32 casts.)
     row_f = mask0.astype(jnp.float32)[:, None]  # (BQ, 1)
     col_f = mask1.astype(jnp.float32)[None, :]  # (1, N)
-    pair_f = row_f * col_f
-    sim = sim * pair_f + neg * (1.0 - pair_f)
+    sim = sim + ((row_f - 1.0) * 1e9 + (col_f - 1.0) * 1e9)
 
     # direction 0<-1: full row softmax (set-1 axis resident). The softmax
     # normalization is applied AFTER the AV matmul ((BQ,D) mults instead of
     # a (BQ,N) divide) — same VPU economy as _attention_kernel.
-    rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), neg)
-    e_row = jnp.exp(sim - rowmax) * col_f
+    rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), -1e4)
+    e_row = jnp.exp(sim - rowmax)
     denom_row = jnp.sum(e_row, axis=-1, keepdims=True)
     m0 = jax.lax.dot_general(
         e_row.astype(v1.dtype), v1, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    m0 = m0 * (1.0 / (denom_row + 1e-30))
-    m0_ref[0] = (m0 * row_f).astype(m0_ref.dtype)
+    m0 = m0 * (row_f / (denom_row + 1e-30))
+    m0_ref[0] = m0.astype(m0_ref.dtype)
 
     # direction 1<-0: online column softmax across q blocks
     @pl.when(i == 0)
@@ -353,9 +358,11 @@ def _bidir_cross_kernel(
 
     block_colmax = jnp.max(sim, axis=0)  # (N,)
     old_m = colmax_ref[0, :]
-    new_m = jnp.maximum(old_m, block_colmax)
+    # clamp at -1e4: if every row of this block is masked, e_col must
+    # underflow to zero rather than exp(0) == 1
+    new_m = jnp.maximum(jnp.maximum(old_m, block_colmax), -1e4)
     factor = jnp.exp(old_m - new_m)
-    e_col = jnp.exp(sim - new_m[None, :]) * pair_f
+    e_col = jnp.exp(sim - new_m[None, :])
     colacc_ref[...] = colacc_ref[...] * factor[:, None] + jax.lax.dot_general(
         e_col.astype(v0b.dtype), v0b, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
