@@ -61,6 +61,85 @@ class TestSuperPointMagicLeap:
         )
 
 
+class TestSuperPointS2D:
+    """The space-to-depth trunk must be numerically equivalent to the plain
+    conv trunk (same parameters, same outputs)."""
+
+    def test_s2d_conv_pair_matches_plain(self, rng):
+        from gluefactory_tpu.models.extractors.superpoint_open import (
+            _depth_to_space,
+            _space_to_depth,
+            s2d_conv,
+        )
+
+        x = jnp.asarray(rng.rand(2, 16, 20, 3), jnp.float32)
+        w1 = jnp.asarray(rng.randn(3, 3, 3, 8) * 0.2, jnp.float32)
+        b1 = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.randn(3, 3, 8, 8) * 0.2, jnp.float32)
+        b2 = jnp.asarray(rng.randn(8) * 0.1, jnp.float32)
+
+        def plain_conv(x, w, b):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            return y + b
+
+        ref = plain_conv(jax.nn.relu(plain_conv(x, w1, b1)), w2, b2)
+
+        xs = _space_to_depth(x)
+        xs = s2d_conv(xs, w1, b1, "p0_to_p1")
+        xs = jax.nn.relu(xs)
+        xs = s2d_conv(xs, w2, b2, "p1_to_p0")
+        out = _depth_to_space(xs)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_group_max_is_max_pool(self, rng):
+        from gluefactory_tpu.models.extractors.superpoint_open import _space_to_depth
+        from flax import linen as nn
+
+        x = jnp.asarray(rng.rand(2, 16, 20, 5), jnp.float32)
+        ref = nn.max_pool(x, (2, 2), strides=(2, 2))
+        xs = _space_to_depth(x)
+        bb, hh, ww, _ = xs.shape
+        got = xs.reshape(bb, hh, ww, 2, 2, 5).max(axis=(3, 4))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+    def test_model_parity_plain_vs_s2d(self, rng):
+        base = {
+            "max_num_keypoints": 48,
+            "detection_threshold": 0.0,
+            "dtype": "float32",
+            "dense_outputs": True,
+            "channels": [8, 8, 16, 16, 32],
+        }
+        sp_plain = get_model("superpoint_open").from_conf({**base, "s2d": False})
+        sp_s2d = get_model("superpoint_open").from_conf({**base, "s2d": True})
+        img = jnp.asarray(rng.rand(1, 64, 64, 1), jnp.float32)
+        variables = sp_s2d.init(jax.random.PRNGKey(0), {"image": img})
+        out_p = sp_plain.apply(variables, {"image": img})
+        out_s = sp_s2d.apply(variables, {"image": img})
+        np.testing.assert_allclose(
+            np.asarray(out_s["dense_descriptors"]),
+            np.asarray(out_p["dense_descriptors"]),
+            atol=1e-4,
+        )
+        # keypoints agree as sets (fp reassociation can reorder exact ties)
+        kp_p = {tuple(k) for k in np.asarray(out_p["keypoints"][0]).round(3).tolist()}
+        kp_s = {tuple(k) for k in np.asarray(out_s["keypoints"][0]).round(3).tolist()}
+        overlap = len(kp_p & kp_s) / max(len(kp_p), 1)
+        assert overlap > 0.9, f"keypoint overlap {overlap}"
+
+    def test_odd_size_falls_back(self, rng):
+        """Non-%16 images silently use the plain trunk (same params)."""
+        pred = run_extractor(
+            "superpoint_open",
+            {"max_num_keypoints": 16, "detection_threshold": 0.0,
+             "dtype": "float32", "channels": [8, 8, 16, 16, 32], "s2d": True},
+            rng, size=(56, 40),
+        )
+        assert pred["keypoints"].shape == (1, 16, 2)
+
+
 class TestALIKED:
     def test_forward(self, rng):
         pred = run_extractor(
