@@ -41,7 +41,11 @@ import numpy as np
 from flax import linen as nn
 
 from ...ops.assignment import filter_matches, sigmoid_log_double_softmax
-from ...ops.attention import apply_rotary, cross_attention_bidirectional, self_attention
+from ...ops.attention import (
+    apply_rotary,
+    cross_attention_bidirectional_packed,
+    self_attention_packed,
+)
 from ..base_model import BaseModel
 from ..utils.losses import nll_loss
 from ..utils.metrics import matcher_metrics
@@ -79,16 +83,6 @@ def _layer_norm(x, scale, bias, eps: float = 1e-5):
     var = jnp.var(xf, axis=-1, keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
     return y.astype(x.dtype)
-
-
-def _heads(x, num_heads):
-    b, n, d = x.shape
-    return x.reshape(b, n, num_heads, d // num_heads).transpose(0, 2, 1, 3)
-
-
-def _unheads(x):
-    b, h, n, dh = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
 
 
 class LightGlue(BaseModel):
@@ -206,7 +200,12 @@ class LightGlue(BaseModel):
         return w, b
 
     def _posenc(self, kpts: jnp.ndarray, num_valid: jnp.ndarray) -> jnp.ndarray:
-        """Rotary frequency tensor (2, B, 1, N, head_dim)."""
+        """Rotary frequency tensor (2, B, N, descriptor_dim), packed layout.
+
+        The encoding is identical for every head, so it is tiled along the
+        channel axis: rotary then applies directly to the packed (B, N, H*Dh)
+        q/k without any head transpose (rotate_half's pair swap is local to
+        adjacent channels, so it commutes with the head packing)."""
         projected = jnp.einsum("...nm,mf->...nf", kpts, self.posenc_Wr)
         if self.conf.posenc == "conditional_fourier":
             cond = jax.nn.relu(num_valid.astype(projected.dtype))[..., None]  # (B,1)
@@ -214,22 +213,22 @@ class LightGlue(BaseModel):
             projected = projected + modulation[:, None, :]
         emb = jnp.stack([jnp.cos(projected), jnp.sin(projected)], axis=0)
         emb = jnp.repeat(emb, 2, axis=-1)  # pair-interleave to head_dim
-        return emb[:, :, None, :, :]  # broadcast over heads
+        return jnp.tile(emb, (1, 1, 1, self.conf.num_heads))  # (2, B, N, D)
 
     # ----------------------------------------------------------- layer blocks
     def _self_block(self, i, x, encoding, mask):
         conf = self.conf
-        h = conf.num_heads
         w, b = self._slice(self.self_Wqkv, i, x.dtype)
         qkv = _dense(x, w, b)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = _heads(q, h), _heads(k, h), _heads(v, h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # packed (B, N, D), heads on channels
         enc = encoding.astype(x.dtype)
         q = apply_rotary(q, enc)
         k = apply_rotary(k, enc)
-        context = self_attention(q, k, v, mask, impl=self._attn_impl())
+        context = self_attention_packed(
+            q, k, v, mask, num_heads=conf.num_heads, impl=self._attn_impl()
+        )
         w, b = self._slice(self.self_out, i, x.dtype)
-        message = _dense(_unheads(context).astype(x.dtype), w, b)
+        message = _dense(context.astype(x.dtype), w, b)
         return x + self._ffn(x, message, i, self.self_ffn1, self.self_ln, self.self_ffn2)
 
     def _ffn(self, x, message, i, ffn1, ln, ffn2):
@@ -243,19 +242,19 @@ class LightGlue(BaseModel):
 
     def _cross_block(self, i, x0, x1, mask0, mask1):
         conf = self.conf
-        h = conf.num_heads
         wqk, bqk = self._slice(self.cross_qk, i, x0.dtype)
         wv, bv = self._slice(self.cross_v, i, x0.dtype)
-        qk0 = _heads(_dense(x0, wqk, bqk), h)
-        qk1 = _heads(_dense(x1, wqk, bqk), h)
-        v0 = _heads(_dense(x0, wv, bv), h)
-        v1 = _heads(_dense(x1, wv, bv), h)
-        m0, m1 = cross_attention_bidirectional(
-            qk0, qk1, v0, v1, mask0, mask1, impl=self._attn_impl()
+        qk0 = _dense(x0, wqk, bqk)  # packed (B, N, D), heads on channels
+        qk1 = _dense(x1, wqk, bqk)
+        v0 = _dense(x0, wv, bv)
+        v1 = _dense(x1, wv, bv)
+        m0, m1 = cross_attention_bidirectional_packed(
+            qk0, qk1, v0, v1, mask0, mask1,
+            num_heads=conf.num_heads, impl=self._attn_impl(),
         )
         wo, bo = self._slice(self.cross_out, i, x0.dtype)
-        m0 = _dense(_unheads(m0).astype(x0.dtype), wo, bo)
-        m1 = _dense(_unheads(m1).astype(x0.dtype), wo, bo)
+        m0 = _dense(m0.astype(x0.dtype), wo, bo)
+        m1 = _dense(m1.astype(x0.dtype), wo, bo)
         x0 = x0 + self._ffn(x0, m0, i, self.cross_ffn1, self.cross_ln, self.cross_ffn2)
         x1 = x1 + self._ffn(x1, m1, i, self.cross_ffn1, self.cross_ln, self.cross_ffn2)
         return x0, x1

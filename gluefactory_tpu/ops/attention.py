@@ -168,6 +168,68 @@ def masked_attention(q, k, v, mask_q=None, mask_k=None, impl: str = "xla"):
     return out
 
 
+def self_attention_packed(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    num_heads: int = 4,
+    impl: str = "xla",
+) -> jnp.ndarray:
+    """Multi-head attention on the packed (B, N, H*Dh) layout.
+
+    Heads stay channel slices end to end: the Pallas kernel loops over head
+    slices in-register, so neither side pays the (B, H, N, Dh) relayout that
+    the per-head entry needs (~12 transposes per LightGlue layer).
+    """
+    if impl == "pallas":
+        from .pallas_attention import fused_attention_packed
+
+        out = fused_attention_packed(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+            mask, mask, num_heads,
+        )
+        return out.astype(q.dtype)
+    b, n, d = q.shape
+    to_h = lambda x: x.reshape(b, -1, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+    attn_mask = None
+    if mask is not None:
+        attn_mask = mask[:, None, :, None] & mask[:, None, None, :]
+    out = _sdpa(to_h(q), to_h(k), to_h(v), attn_mask)
+    return out.transpose(0, 2, 1, 3).reshape(b, n, d)
+
+
+def cross_attention_bidirectional_packed(
+    qk0: jnp.ndarray,
+    qk1: jnp.ndarray,
+    v0: jnp.ndarray,
+    v1: jnp.ndarray,
+    mask0: Optional[jnp.ndarray] = None,
+    mask1: Optional[jnp.ndarray] = None,
+    num_heads: int = 4,
+    impl: str = "xla",
+):
+    """Bidirectional cross-attention on the packed (B, N, H*Dh) layout
+    (see cross_attention_bidirectional / self_attention_packed)."""
+    if impl == "pallas":
+        from .pallas_attention import fused_cross_attention_packed
+
+        f32 = jnp.float32
+        m0, m1 = fused_cross_attention_packed(
+            qk0.astype(f32), qk1.astype(f32), v0.astype(f32), v1.astype(f32),
+            mask0, mask1, num_heads,
+        )
+        return m0.astype(qk0.dtype), m1.astype(qk1.dtype)
+    b, m, d = qk0.shape
+    n = qk1.shape[1]
+    to_h = lambda x: x.reshape(b, -1, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+    m0, m1 = cross_attention_bidirectional(
+        to_h(qk0), to_h(qk1), to_h(v0), to_h(v1), mask0, mask1, impl="xla"
+    )
+    back = lambda x, nn_: x.transpose(0, 2, 1, 3).reshape(b, nn_, d)
+    return back(m0, m), back(m1, n)
+
+
 @partial(jax.jit, static_argnames=())
 def reference_self_attention(q, k, v, mask=None):
     """Jitted XLA reference used by Pallas kernel tests."""
@@ -179,4 +241,6 @@ __all__ = [
     "apply_rotary",
     "self_attention",
     "cross_attention_bidirectional",
+    "self_attention_packed",
+    "cross_attention_bidirectional_packed",
 ]

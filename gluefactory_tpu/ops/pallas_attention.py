@@ -301,6 +301,153 @@ def _fused_attention_bwd(residuals, g):
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
+def _attention_kernel_packed(
+    q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale, num_heads
+):
+    """Multi-head attention on the PACKED (B, N, H*Dh) layout: heads are
+    static channel slices processed by an unrolled in-kernel loop, so the
+    caller never materializes the (B, H, N, Dh) transpose (the XLA relayouts
+    around the per-head kernel cost more than the in-register lane shifts
+    here). Same additive-bias masking as _attention_kernel."""
+    d_total = q_ref.shape[-1]
+    dh = d_total // num_heads
+    mask_q = maskq_ref[0, :, 0]
+    mask_k = maskk_ref[0, 0, :]
+    colbias = (mask_k.astype(jnp.float32) - 1.0) * 1e9  # (N,)
+    rowscale = mask_q.astype(jnp.float32)[:, None]
+
+    for h in range(num_heads):
+        q = q_ref[0, :, h * dh:(h + 1) * dh] * scale  # (BQ, Dh)
+        k = k_ref[0, :, h * dh:(h + 1) * dh]  # (N, Dh)
+        v = v_ref[0, :, h * dh:(h + 1) * dh]
+        sim = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sim = sim + colbias[None, :]
+        rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), -1e4)
+        e = jnp.exp(sim - rowmax)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o = o * (rowscale / (denom + 1e-30))
+        o_ref[0, :, h * dh:(h + 1) * dh] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "interpret"))
+def _fused_attention_packed_bnd(
+    q, k, v, mask_q, mask_k, num_heads, block_q: int = 256, interpret: bool = False
+):
+    """Packed entry on (B, N, H*Dh) tensors with (B, N) int32 masks."""
+    b, nq, d_total = q.shape
+    nk = k.shape[1]
+    scale = (d_total // num_heads) ** -0.5
+    nq_p = _round_up(nq, block_q)
+    nk_p = _round_up(nk, 128)
+    if nq_p != nq:
+        q = jnp.pad(q, ((0, 0), (0, nq_p - nq), (0, 0)))
+        mask_q = jnp.pad(mask_q, ((0, 0), (0, nq_p - nq)))
+    if nk_p != nk:
+        k = jnp.pad(k, ((0, 0), (0, nk_p - nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, nk_p - nk), (0, 0)))
+        mask_k = jnp.pad(mask_k, ((0, 0), (0, nk_p - nk)))
+    mask_q = mask_q[:, :, None]
+    mask_k = mask_k[:, None, :]
+
+    grid = (b, nq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _attention_kernel_packed, scale=scale, num_heads=num_heads
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nq_p, d_total), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_total), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, nk_p, d_total), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, nk_p, d_total), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, nk_p), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_total), lambda b, i: (b, i, 0)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nq_p * nk_p * d_total * 2,
+            bytes_accessed=4 * b * (nq_p * d_total * 2 + 2 * nk_p * d_total),
+            transcendentals=b * nq_p * nk_p * num_heads,
+        ),
+    )(q, k, v, mask_q, mask_k)
+    return out[:, :nq]
+
+
+def _packed_to_heads(x, num_heads):
+    b, n, d = x.shape
+    return x.reshape(b, n, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _heads_to_packed(x):
+    b, h, n, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * dh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_attention_packed(q, k, v, mask_q=None, mask_k=None, num_heads: int = 4):
+    """Masked multi-head attention on the packed (B, N, H*Dh) layout.
+
+    Heads never leave the channel axis: no (B, H, N, Dh) transpose on either
+    side. mask_q/(B,Nq), mask_k/(B,Nk) bool or None. Returns (B, Nq, H*Dh)
+    with zeros at invalid query rows.
+    """
+    b, nq, _ = q.shape
+    nk = k.shape[1]
+    mq = jnp.ones((b, nq), jnp.int32) if mask_q is None else mask_q.astype(jnp.int32)
+    mk = jnp.ones((b, nk), jnp.int32) if mask_k is None else mask_k.astype(jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+    block_q = min(256, _round_up(nq, 128))
+    return _fused_attention_packed_bnd(
+        q, k, v, mq, mk, num_heads, block_q=block_q, interpret=interpret
+    )
+
+
+def _fused_attention_packed_fwd(q, k, v, mask_q, mask_k, num_heads):
+    out = fused_attention_packed(q, k, v, mask_q, mask_k, num_heads)
+    return out, (q, k, v, mask_q, mask_k)
+
+
+def _fused_attention_packed_bwd(num_heads, residuals, g):
+    # backward reuses the per-head kernel (transposes acceptable off the
+    # inference hot path)
+    q, k, v, mask_q, mask_k = residuals
+    qh = _packed_to_heads(q, num_heads)
+    kh = _packed_to_heads(k, num_heads)
+    vh = _packed_to_heads(v, num_heads)
+    mq, mk = _flatten_masks(qh, kh, mask_q, mask_k)
+    b, h, nq, dh = qh.shape
+    nk = kh.shape[2]
+    interpret = jax.default_backend() != "tpu"
+    block_q = min(256, _round_up(nq, 128))
+    dq, dk, dv = _fused_attention_bwd_bhnd(
+        qh.reshape(b * h, nq, dh), kh.reshape(b * h, nk, dh),
+        vh.reshape(b * h, nk, dh), mq, mk,
+        _packed_to_heads(g, num_heads).reshape(b * h, nq, dh),
+        block_q=block_q, interpret=interpret,
+    )
+    return (
+        _heads_to_packed(dq.reshape(b, h, nq, dh)),
+        _heads_to_packed(dk.reshape(b, h, nk, dh)),
+        _heads_to_packed(dv.reshape(b, h, nk, dh)),
+        None, None,
+    )
+
+
+fused_attention_packed.defvjp(_fused_attention_packed_fwd, _fused_attention_packed_bwd)
+
+
 def _bidir_cross_kernel(
     qk0_ref, qk1_ref, v0_ref, v1_ref, mask0_ref, mask1_ref,
     m0_ref, m1_ref,
@@ -428,6 +575,170 @@ def _bidir_cross_bhnd(qk0, qk1, v0, v1, mask0, mask1, block_q=256, interpret=Fal
     return m0[:, :m], m1[:, :n]
 
 
+def _bidir_cross_kernel_packed(
+    qk0_ref, qk1_ref, v0_ref, v1_ref, mask0_ref, mask1_ref,
+    m0_ref, m1_ref,
+    colmax_ref, coldenom_ref, colacc_ref,
+    *, scale, num_heads,
+):
+    """Packed-layout bidirectional cross attention: per-head channel slices,
+    one similarity pass per head per tile (see _bidir_cross_kernel for the
+    online column softmax scheme)."""
+    i = pl.program_id(1)
+    n_steps = pl.num_programs(1)
+    d_total = qk0_ref.shape[-1]
+    dh = d_total // num_heads
+    mask0 = mask0_ref[0, :, 0]
+    mask1 = mask1_ref[0, 0, :]
+    row_f = mask0.astype(jnp.float32)[:, None]
+    col_f = mask1.astype(jnp.float32)[None, :]
+    bias = (row_f - 1.0) * 1e9 + (col_f - 1.0) * 1e9
+
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = qk0_ref[0, :, sl]
+        k = qk1_ref[0, :, sl]
+        v1 = v1_ref[0, :, sl]
+        v0b = v0_ref[0, :, sl]
+
+        sim = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        sim = sim + bias
+
+        # direction 0<-1: full row softmax
+        rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), -1e4)
+        e_row = jnp.exp(sim - rowmax)
+        denom_row = jnp.sum(e_row, axis=-1, keepdims=True)
+        m0 = jax.lax.dot_general(
+            e_row.astype(v1.dtype), v1, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m0 = m0 * (row_f / (denom_row + 1e-30))
+        m0_ref[0, :, sl] = m0.astype(m0_ref.dtype)
+
+        # direction 1<-0: online column softmax across q blocks
+        @pl.when(i == 0)
+        def _init():
+            colmax_ref[h, :] = jnp.full_like(colmax_ref[h, :], -1e9)
+            coldenom_ref[h, :] = jnp.zeros_like(coldenom_ref[h, :])
+            colacc_ref[:, sl] = jnp.zeros_like(colacc_ref[:, sl])
+
+        block_colmax = jnp.max(sim, axis=0)
+        old_m = colmax_ref[h, :]
+        new_m = jnp.maximum(jnp.maximum(old_m, block_colmax), -1e4)
+        factor = jnp.exp(old_m - new_m)
+        e_col = jnp.exp(sim - new_m[None, :])
+        colacc_ref[:, sl] = colacc_ref[:, sl] * factor[:, None] + jax.lax.dot_general(
+            e_col.astype(v0b.dtype), v0b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        coldenom_ref[h, :] = coldenom_ref[h, :] * factor + jnp.sum(e_col, axis=0)
+        colmax_ref[h, :] = new_m
+
+        @pl.when(i == n_steps - 1)
+        def _finalize():
+            m1 = colacc_ref[:, sl] / (coldenom_ref[h, :][:, None] + 1e-30)
+            m1_ref[0, :, sl] = (
+                m1 * mask1.astype(jnp.float32)[:, None]
+            ).astype(m1_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "interpret"))
+def _bidir_cross_packed_bnd(
+    qk0, qk1, v0, v1, mask0, mask1, num_heads, block_q=256, interpret=False
+):
+    b, m, d_total = qk0.shape
+    n = qk1.shape[1]
+    scale = (d_total // num_heads) ** -0.5
+    m_p = _round_up(m, block_q)
+    n_p = _round_up(n, 128)
+    if m_p != m:
+        qk0 = jnp.pad(qk0, ((0, 0), (0, m_p - m), (0, 0)))
+        v0 = jnp.pad(v0, ((0, 0), (0, m_p - m), (0, 0)))
+        mask0 = jnp.pad(mask0, ((0, 0), (0, m_p - m)))
+    if n_p != n:
+        qk1 = jnp.pad(qk1, ((0, 0), (0, n_p - n), (0, 0)))
+        v1 = jnp.pad(v1, ((0, 0), (0, n_p - n), (0, 0)))
+        mask1 = jnp.pad(mask1, ((0, 0), (0, n_p - n)))
+    mask0_3 = mask0[:, :, None]
+    mask1_3 = mask1[:, None, :]
+
+    grid = (b, m_p // block_q)
+    m0, m1 = pl.pallas_call(
+        functools.partial(
+            _bidir_cross_kernel_packed, scale=scale, num_heads=num_heads
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m_p, d_total), qk0.dtype),
+            jax.ShapeDtypeStruct((b, n_p, d_total), qk1.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_total), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_p, d_total), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, d_total), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_p, d_total), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, n_p), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_total), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, n_p, d_total), lambda b, i: (b, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads, n_p), jnp.float32),
+            pltpu.VMEM((num_heads, n_p), jnp.float32),
+            pltpu.VMEM((n_p, d_total), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+    )(qk0, qk1, v0, v1, mask0_3, mask1_3)
+    return m0[:, :m], m1[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_cross_attention_packed(
+    qk0, qk1, v0, v1, mask0=None, mask1=None, num_heads: int = 4
+):
+    """Bidirectional cross-attention on the packed (B, N, H*Dh) layout;
+    heads stay channel slices end to end (see fused_cross_attention)."""
+    b, m, _ = qk0.shape
+    n = qk1.shape[1]
+    mq = jnp.ones((b, m), jnp.int32) if mask0 is None else mask0.astype(jnp.int32)
+    mk = jnp.ones((b, n), jnp.int32) if mask1 is None else mask1.astype(jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+    block_q = min(256, _round_up(m, 128))
+    return _bidir_cross_packed_bnd(
+        qk0, qk1, v0, v1, mq, mk, num_heads, block_q=block_q, interpret=interpret
+    )
+
+
+def _fused_cross_packed_fwd(qk0, qk1, v0, v1, mask0, mask1, num_heads):
+    out = fused_cross_attention_packed(qk0, qk1, v0, v1, mask0, mask1, num_heads)
+    return out, (qk0, qk1, v0, v1, mask0, mask1)
+
+
+def _fused_cross_packed_bwd(num_heads, residuals, grads):
+    qk0, qk1, v0, v1, mask0, mask1 = residuals
+    h = num_heads
+    to_h = lambda x: _packed_to_heads(x, h)
+    d0, d1, dv0, dv1, _, _ = _fused_cross_bwd(
+        (to_h(qk0), to_h(qk1), to_h(v0), to_h(v1), mask0, mask1),
+        (to_h(grads[0]), to_h(grads[1])),
+    )
+    return (
+        _heads_to_packed(d0), _heads_to_packed(d1),
+        _heads_to_packed(dv0), _heads_to_packed(dv1), None, None,
+    )
+
+
+fused_cross_attention_packed.defvjp(_fused_cross_packed_fwd, _fused_cross_packed_bwd)
+
+
 @jax.custom_vjp
 def fused_cross_attention(
     qk0: jnp.ndarray,
@@ -489,4 +800,9 @@ def _fused_cross_bwd(residuals, grads):
 fused_cross_attention.defvjp(_fused_cross_fwd, _fused_cross_bwd)
 
 
-__all__ = ["fused_attention", "fused_cross_attention"]
+__all__ = [
+    "fused_attention",
+    "fused_cross_attention",
+    "fused_attention_packed",
+    "fused_cross_attention_packed",
+]

@@ -167,6 +167,115 @@ class TestBidirectionalCrossKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-3, rtol=1e-3)
 
 
+class TestPackedKernels:
+    """The packed (B, N, H*Dh) entries must match the per-head XLA reference
+    exactly: heads as in-kernel channel slices, no layout transposes."""
+
+    @pytest.mark.parametrize("masked", [False, True])
+    def test_self_packed_matches_xla(self, rng, masked):
+        from gluefactory_tpu.ops.attention import self_attention_packed
+        from gluefactory_tpu.ops.pallas_attention import fused_attention_packed
+
+        b, n, heads, dh = 2, 200, 4, 32
+        d = heads * dh
+        q = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        mask = jnp.asarray(rng.rand(b, n) > 0.3) if masked else None
+        out = fused_attention_packed(q, k, v, mask, mask, heads)
+        ref = self_attention_packed(q, k, v, mask, num_heads=heads, impl="xla")
+        if masked:
+            valid = np.asarray(mask)
+            np.testing.assert_allclose(
+                np.asarray(out)[valid], np.asarray(ref)[valid], atol=2e-5, rtol=1e-4
+            )
+            assert np.abs(np.asarray(out)[~valid]).max() == 0.0
+        else:
+            np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+
+    def test_cross_packed_matches_xla_multi_block(self, rng):
+        from gluefactory_tpu.ops.attention import (
+            cross_attention_bidirectional_packed,
+        )
+        from gluefactory_tpu.ops.pallas_attention import (
+            fused_cross_attention_packed,
+        )
+
+        # m spans multiple q blocks: exercises the per-head online col softmax
+        b, m, n, heads, dh = 1, 300, 112, 2, 64
+        d = heads * dh
+        qk0 = jnp.asarray(rng.randn(b, m, d), jnp.float32)
+        qk1 = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        v0 = jnp.asarray(rng.randn(b, m, d), jnp.float32)
+        v1 = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        mask0 = jnp.asarray(rng.rand(b, m) > 0.2)
+        mask1 = jnp.asarray(rng.rand(b, n) > 0.2)
+        m0_k, m1_k = fused_cross_attention_packed(
+            qk0, qk1, v0, v1, mask0, mask1, heads
+        )
+        m0_r, m1_r = cross_attention_bidirectional_packed(
+            qk0, qk1, v0, v1, mask0, mask1, num_heads=heads, impl="xla"
+        )
+        v0m, v1m = np.asarray(mask0[0]), np.asarray(mask1[0])
+        np.testing.assert_allclose(
+            np.asarray(m0_k)[0][v0m], np.asarray(m0_r)[0][v0m], atol=3e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(m1_k)[0][v1m], np.asarray(m1_r)[0][v1m], atol=3e-5, rtol=1e-4
+        )
+
+    def test_packed_gradients(self, rng):
+        import jax
+
+        from gluefactory_tpu.ops.attention import (
+            cross_attention_bidirectional_packed,
+            self_attention_packed,
+        )
+        from gluefactory_tpu.ops.pallas_attention import (
+            fused_attention_packed,
+            fused_cross_attention_packed,
+        )
+
+        b, n, heads, dh = 1, 96, 2, 32
+        d = heads * dh
+        q = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        mask = jnp.asarray(rng.rand(b, n) > 0.25)
+
+        gp = jax.grad(
+            lambda q, k, v: (fused_attention_packed(q, k, v, mask, mask, heads) ** 2).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        gx = jax.grad(
+            lambda q, k, v: (
+                self_attention_packed(q, k, v, mask, num_heads=heads, impl="xla") ** 2
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3, rtol=1e-3)
+
+        gp = jax.grad(
+            lambda a, c, x, y: sum(
+                (t**2).sum()
+                for t in fused_cross_attention_packed(a, c, x, y, mask, mask, heads)
+            ),
+            argnums=(0, 1, 2, 3),
+        )(q, k, v, v)
+        gx = jax.grad(
+            lambda a, c, x, y: sum(
+                (t**2).sum()
+                for t in cross_attention_bidirectional_packed(
+                    a, c, x, y, mask, mask, num_heads=heads, impl="xla"
+                )
+            ),
+            argnums=(0, 1, 2, 3),
+        )(q, k, v, v)
+        for a, b_ in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-3, rtol=1e-3)
+
+
 class TestFusedAssignment:
     def _inputs(self, rng, b, m, n, d, masked=True):
         d0 = jnp.asarray(rng.randn(b, m, d), jnp.float32) / d**0.25
