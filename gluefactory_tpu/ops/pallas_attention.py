@@ -23,12 +23,18 @@ Falls back to interpret mode off-TPU so tests exercise the same code path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# MXU operand dtype for the packed kernels' dots (softmax stats stay f32).
+# On the per-head (minor dim 64) layout bf16 lost to relayout cost; the
+# packed 256-channel layout tiles bf16 (16,128) cleanly. A/B via env.
+_MXU_BF16 = os.environ.get("GLUEFACTORY_ATTN_MXU_BF16", "0") == "1"
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale):
@@ -316,10 +322,11 @@ def _attention_kernel_packed(
     colbias = (mask_k.astype(jnp.float32) - 1.0) * 1e9  # (N,)
     rowscale = mask_q.astype(jnp.float32)[:, None]
 
+    mxu = jnp.bfloat16 if _MXU_BF16 else jnp.float32
     for h in range(num_heads):
-        q = q_ref[0, :, h * dh:(h + 1) * dh] * scale  # (BQ, Dh)
-        k = k_ref[0, :, h * dh:(h + 1) * dh]  # (N, Dh)
-        v = v_ref[0, :, h * dh:(h + 1) * dh]
+        q = (q_ref[0, :, h * dh:(h + 1) * dh] * scale).astype(mxu)  # (BQ, Dh)
+        k = k_ref[0, :, h * dh:(h + 1) * dh].astype(mxu)  # (N, Dh)
+        v = v_ref[0, :, h * dh:(h + 1) * dh].astype(mxu)
         sim = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -594,12 +601,13 @@ def _bidir_cross_kernel_packed(
     col_f = mask1.astype(jnp.float32)[None, :]
     bias = (row_f - 1.0) * 1e9 + (col_f - 1.0) * 1e9
 
+    mxu = jnp.bfloat16 if _MXU_BF16 else jnp.float32
     for h in range(num_heads):
         sl = slice(h * dh, (h + 1) * dh)
-        q = qk0_ref[0, :, sl]
-        k = qk1_ref[0, :, sl]
-        v1 = v1_ref[0, :, sl]
-        v0b = v0_ref[0, :, sl]
+        q = qk0_ref[0, :, sl].astype(mxu)
+        k = qk1_ref[0, :, sl].astype(mxu)
+        v1 = v1_ref[0, :, sl].astype(mxu)
+        v0b = v0_ref[0, :, sl].astype(mxu)
 
         sim = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),

@@ -30,6 +30,7 @@ from ..models import get_model
 from ..parallel.mesh import make_mesh, replicated, shard_batch
 from ..utils.config import FrozenConfig, merge, save_yaml
 from ..utils.experiments import (
+    get_best_checkpoint,
     get_last_checkpoint,
     load_checkpoint,
     save_experiment,
@@ -64,7 +65,29 @@ default_train_conf = {
     # [n_pairs, "import.path.fn"]: build match figures from the first
     # validation batch (reference `train.plot` conf + visualize_batch)
     "plot": None,
+    # fine-tune initialization: name of an experiment whose BEST checkpoint
+    # seeds the params (reference `train.load_experiment`, train.py:214-229);
+    # tolerant grafting (strict=False counterpart): shape-matching leaves are
+    # copied, the rest keep their fresh init with a warning.
+    "load_experiment": None,
 }
+
+
+def _graft_params(fresh, loaded, path=""):
+    """Copy shape-matching leaves of `loaded` into the `fresh` param tree;
+    return (tree, n_copied, skipped_paths)."""
+    if isinstance(fresh, dict):
+        out, n, skipped = {}, 0, []
+        loaded = loaded if isinstance(loaded, dict) else {}
+        for k, v in fresh.items():
+            sub, n_sub, sk = _graft_params(v, loaded.get(k), f"{path}/{k}")
+            out[k] = sub
+            n += n_sub
+            skipped += sk
+        return out, n, skipped
+    if loaded is not None and np.shape(loaded) == np.shape(fresh):
+        return jnp.asarray(loaded, jnp.asarray(fresh).dtype), 1, []
+    return fresh, 0, [path]
 
 
 def batch_to_device(batch):
@@ -116,6 +139,17 @@ class Trainer:
         variables = self.model.init(jax.random.PRNGKey(conf.train.seed), first_batch)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+
+        if conf.train.get("load_experiment"):
+            src = str(conf.train.load_experiment)
+            loaded, _ = load_checkpoint(get_best_checkpoint(src))
+            loaded_params = loaded.get("params", loaded)
+            params, n_copied, skipped = _graft_params(params, loaded_params)
+            logger.info(
+                "Fine-tune init from '%s': %d tensors copied%s",
+                src, n_copied,
+                f", {len(skipped)} kept fresh (e.g. {skipped[:3]})" if skipped else "",
+            )
 
         self.tx = make_optimizer(dict(conf.train))
         state = TrainState(
@@ -324,6 +358,7 @@ class Trainer:
             self.experiment, self.state, merge({}, self.conf), epoch, it_total,
             results=results, best_eval=self.best_eval,
             num_keep=self.conf.train.keep_last_checkpoints,
+            interrupted=interrupted,
         )
 
 

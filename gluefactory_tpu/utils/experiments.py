@@ -69,12 +69,18 @@ def save_experiment(
     best_eval: float | None = None,
     is_best: bool = False,
     num_keep: int = 5,
+    interrupted: bool = False,
 ) -> Path:
     """Write checkpoint_<epoch>_<iter> (+ checkpoint_best copy when is_best),
-    prune old ones (reference save_experiment, experiments.py:95-134)."""
+    prune old ones (reference save_experiment, experiments.py:95-134).
+
+    `interrupted` checkpoints (SIGINT mid-epoch, reference experiments.py:124)
+    get an `_interrupted` suffix: list_checkpoints' pattern excludes them, so
+    `--restore` resumes from the last CLEAN checkpoint like the reference."""
     dir_ = experiment_dir(experiment)
     dir_.mkdir(parents=True, exist_ok=True)
-    path = dir_ / f"checkpoint_{epoch}_{iter_i}"
+    suffix = "_interrupted" if interrupted else ""
+    path = dir_ / f"checkpoint_{epoch}_{iter_i}{suffix}"
     ckptr = ocp.StandardCheckpointer()
     state_np = jax.tree.map(np.asarray, state)
     ckptr.save(path.absolute() / "state", state_np, force=True)

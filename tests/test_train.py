@@ -198,6 +198,54 @@ class TestTrainerEndToEnd:
         assert int(state2.step) >= 2
 
 
+def test_interrupted_checkpoint_skipped_on_restore(tmp_path, monkeypatch):
+    """SIGINT checkpoints get an _interrupted suffix and are NOT picked by
+    get_last_checkpoint (reference experiments.py:124 + train.py:192-208)."""
+    import gluefactory_tpu.utils.experiments as exps
+    from gluefactory_tpu.utils.experiments import (
+        get_last_checkpoint,
+        save_experiment,
+    )
+
+    monkeypatch.setattr(exps, "TRAINING_PATH", tmp_path)
+    state = {"params": {"w": np.ones((2, 2), np.float32)}}
+    save_experiment("exp_i", state, {}, epoch=0, iter_i=10)
+    save_experiment("exp_i", state, {}, epoch=0, iter_i=20, interrupted=True)
+    last = get_last_checkpoint("exp_i")
+    assert last.name == "checkpoint_0_10"
+    assert (tmp_path / "exp_i" / "checkpoint_0_20_interrupted").exists()
+
+
+def test_finetune_init_grafts_matching_params(tmp_path, monkeypatch):
+    """train.load_experiment seeds params from another experiment's best
+    checkpoint, copying shape-matching leaves only (reference train.py:214-229,
+    strict=False load)."""
+    import gluefactory_tpu.utils.experiments as exps
+
+    monkeypatch.setattr(settings, "TRAINING_PATH", tmp_path)
+    monkeypatch.setattr(exps, "TRAINING_PATH", tmp_path)
+
+    conf = tiny_conf(tmp_path)
+    t1 = Trainer(conf, "src_exp", None)
+    t1.build()
+    from gluefactory_tpu.utils.experiments import save_experiment
+
+    src_params = jax.tree.map(np.asarray, t1.state.params)
+    # make the source params distinguishable from a fresh init
+    src_params = jax.tree.map(lambda a: a + 1.0, src_params)
+    save_experiment(
+        "src_exp", {"params": src_params}, {}, epoch=0, iter_i=1, is_best=True
+    )
+
+    conf2 = dict(conf)
+    conf2["train"] = {**conf["train"], "load_experiment": "src_exp"}
+    t2 = Trainer(conf2, "dst_exp", None)
+    t2.build()
+    got = jax.tree.map(np.asarray, t2.state.params)
+    leaves_eq = jax.tree.map(lambda a, b: np.allclose(a, b), got, src_params)
+    assert all(jax.tree.leaves(leaves_eq))
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
 
