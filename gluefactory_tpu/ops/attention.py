@@ -185,11 +185,10 @@ def self_attention_packed(
     if impl == "pallas":
         from .pallas_attention import fused_attention_packed
 
-        out = fused_attention_packed(
-            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
-            mask, mask, num_heads,
-        )
-        return out.astype(q.dtype)
+        # I/O stays in the activation dtype: bf16 flows straight through
+        # (softmax statistics are f32 inside the kernel) — the counterpart of
+        # the reference's half-cast attention (lightglue.py:143,483-485)
+        return fused_attention_packed(q, k, v, mask, mask, num_heads)
     b, n, d = q.shape
     to_h = lambda x: x.reshape(b, -1, num_heads, d // num_heads).transpose(0, 2, 1, 3)
     attn_mask = None
@@ -214,12 +213,9 @@ def cross_attention_bidirectional_packed(
     if impl == "pallas":
         from .pallas_attention import fused_cross_attention_packed
 
-        f32 = jnp.float32
-        m0, m1 = fused_cross_attention_packed(
-            qk0.astype(f32), qk1.astype(f32), v0.astype(f32), v1.astype(f32),
-            mask0, mask1, num_heads,
+        return fused_cross_attention_packed(
+            qk0, qk1, v0, v1, mask0, mask1, num_heads
         )
-        return m0.astype(qk0.dtype), m1.astype(qk1.dtype)
     b, m, d = qk0.shape
     n = qk1.shape[1]
     to_h = lambda x: x.reshape(b, -1, num_heads, d // num_heads).transpose(0, 2, 1, 3)
@@ -228,6 +224,29 @@ def cross_attention_bidirectional_packed(
     )
     back = lambda x, nn_: x.transpose(0, 2, 1, 3).reshape(b, nn_, d)
     return back(m0, m), back(m1, n)
+
+
+def cross_attention_bidirectional_stacked(
+    qk: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    num_heads: int = 4,
+    impl: str = "xla",
+):
+    """Bidirectional cross-attention with BOTH sets stacked on the batch axis
+    (pair i = rows i and i+B of (2B, N, D) tensors). The Pallas path reads
+    the two halves via BlockSpec index maps — no slicing in HBM, one kernel
+    call per layer. Returns (m0, m1), each (B, N, D)."""
+    if impl == "pallas":
+        from .pallas_attention import fused_cross_attention_stacked
+
+        return fused_cross_attention_stacked(qk, v, mask, num_heads)
+    b = qk.shape[0] // 2
+    mask0 = None if mask is None else mask[:b]
+    mask1 = None if mask is None else mask[b:]
+    return cross_attention_bidirectional_packed(
+        qk[:b], qk[b:], v[:b], v[b:], mask0, mask1, num_heads=num_heads, impl="xla"
+    )
 
 
 @partial(jax.jit, static_argnames=())
@@ -243,4 +262,5 @@ __all__ = [
     "cross_attention_bidirectional",
     "self_attention_packed",
     "cross_attention_bidirectional_packed",
+    "cross_attention_bidirectional_stacked",
 ]

@@ -23,7 +23,6 @@ Falls back to interpret mode off-TPU so tests exercise the same code path.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
@@ -31,10 +30,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# MXU operand dtype for the packed kernels' dots (softmax stats stay f32).
-# On the per-head (minor dim 64) layout bf16 lost to relayout cost; the
-# packed 256-channel layout tiles bf16 (16,128) cleanly. A/B via env.
-_MXU_BF16 = os.environ.get("GLUEFACTORY_ATTN_MXU_BF16", "0") == "1"
+# The packed kernels run their dots in the INPUT dtype (softmax statistics
+# always f32): bf16 activations flow straight through — the counterpart of
+# the reference's half-cast attention (lightglue.py:143,483-485). On the old
+# per-head (minor dim 64) layout bf16 I/O lost to (16,128) tile relayouts;
+# the packed 256-channel layout tiles bf16 cleanly and halves kernel HBM
+# traffic. Measured MXU-only bf16 (f32 I/O, in-kernel cast) was a wash, so
+# I/O dtype is the lever that matters.
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, maskq_ref, maskk_ref, o_ref, *, scale):
@@ -322,11 +324,12 @@ def _attention_kernel_packed(
     colbias = (mask_k.astype(jnp.float32) - 1.0) * 1e9  # (N,)
     rowscale = mask_q.astype(jnp.float32)[:, None]
 
-    mxu = jnp.bfloat16 if _MXU_BF16 else jnp.float32
+    # scale folds into q in the I/O dtype (for LightGlue's head_dim 64 the
+    # 0.125 scale is a power of two — exact even in bf16)
     for h in range(num_heads):
-        q = (q_ref[0, :, h * dh:(h + 1) * dh] * scale).astype(mxu)  # (BQ, Dh)
-        k = k_ref[0, :, h * dh:(h + 1) * dh].astype(mxu)  # (N, Dh)
-        v = v_ref[0, :, h * dh:(h + 1) * dh].astype(mxu)
+        q = q_ref[0, :, h * dh:(h + 1) * dh] * scale  # (BQ, Dh)
+        k = k_ref[0, :, h * dh:(h + 1) * dh]  # (N, Dh)
+        v = v_ref[0, :, h * dh:(h + 1) * dh]
         sim = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -601,13 +604,12 @@ def _bidir_cross_kernel_packed(
     col_f = mask1.astype(jnp.float32)[None, :]
     bias = (row_f - 1.0) * 1e9 + (col_f - 1.0) * 1e9
 
-    mxu = jnp.bfloat16 if _MXU_BF16 else jnp.float32
     for h in range(num_heads):
         sl = slice(h * dh, (h + 1) * dh)
-        q = qk0_ref[0, :, sl].astype(mxu)
-        k = qk1_ref[0, :, sl].astype(mxu)
-        v1 = v1_ref[0, :, sl].astype(mxu)
-        v0b = v0_ref[0, :, sl].astype(mxu)
+        q = qk0_ref[0, :, sl]
+        k = qk1_ref[0, :, sl]
+        v1 = v1_ref[0, :, sl]
+        v0b = v0_ref[0, :, sl]
 
         sim = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -706,6 +708,95 @@ def _bidir_cross_packed_bnd(
         ),
     )(qk0, qk1, v0, v1, mask0_3, mask1_3)
     return m0[:, :m], m1[:, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "interpret"))
+def _bidir_cross_stacked_bnd(qk, v, mask, num_heads, block_q=256, interpret=False):
+    """Stacked-sets bidirectional cross attention: qk/v hold BOTH keypoint
+    sets stacked on the batch axis ((2B, N, D); pair i is rows i and i+B).
+    BlockSpec index maps read both halves from the SAME arrays — the two
+    sets never get sliced apart in HBM. One kernel call per layer instead of
+    per direction."""
+    b2, n, d_total = qk.shape
+    b = b2 // 2
+    scale = (d_total // num_heads) ** -0.5
+    n_p = _round_up(n, block_q)  # block_q is a multiple of 128
+    if n_p != n:
+        qk = jnp.pad(qk, ((0, 0), (0, n_p - n), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, n_p - n), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, n_p - n)))
+    mask_q3 = mask[:, :, None]
+    mask_k3 = mask[:, None, :]
+
+    grid = (b, n_p // block_q)
+    m0, m1 = pl.pallas_call(
+        functools.partial(
+            _bidir_cross_kernel_packed, scale=scale, num_heads=num_heads
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_p, d_total), qk.dtype),
+            jax.ShapeDtypeStruct((b, n_p, d_total), qk.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_total), lambda i, j: (i, j, 0)),  # qk0
+            pl.BlockSpec((1, n_p, d_total), lambda i, j: (i + b, 0, 0)),  # qk1
+            pl.BlockSpec((1, block_q, d_total), lambda i, j: (i, j, 0)),  # v0
+            pl.BlockSpec((1, n_p, d_total), lambda i, j: (i + b, 0, 0)),  # v1
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, n_p), lambda i, j: (i + b, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_total), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n_p, d_total), lambda i, j: (i, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_heads, n_p), jnp.float32),
+            pltpu.VMEM((num_heads, n_p), jnp.float32),
+            pltpu.VMEM((n_p, d_total), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+    )(qk, qk, v, v, mask_q3, mask_k3)
+    return m0[:, :n], m1[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_cross_attention_stacked(qk, v, mask=None, num_heads: int = 4):
+    """Bidirectional cross attention over stacked sets (see
+    _bidir_cross_stacked_bnd). Returns (m0, m1), each (B, N, D)."""
+    b2, n, _ = qk.shape
+    mk = jnp.ones((b2, n), jnp.int32) if mask is None else mask.astype(jnp.int32)
+    interpret = jax.default_backend() != "tpu"
+    block_q = min(256, _round_up(n, 128))
+    return _bidir_cross_stacked_bnd(
+        qk, v, mk, num_heads, block_q=block_q, interpret=interpret
+    )
+
+
+def _fused_cross_stacked_fwd(qk, v, mask, num_heads):
+    out = fused_cross_attention_stacked(qk, v, mask, num_heads)
+    return out, (qk, v, mask)
+
+
+def _fused_cross_stacked_bwd(num_heads, residuals, grads):
+    qk, v, mask = residuals
+    b = qk.shape[0] // 2
+    mask0 = None if mask is None else mask[:b]
+    mask1 = None if mask is None else mask[b:]
+    to_h = lambda x: _packed_to_heads(x, num_heads)
+    d0, d1, dv0, dv1, _, _ = _fused_cross_bwd(
+        (to_h(qk[:b]), to_h(qk[b:]), to_h(v[:b]), to_h(v[b:]), mask0, mask1),
+        (to_h(grads[0]), to_h(grads[1])),
+    )
+    dqk = jnp.concatenate([_heads_to_packed(d0), _heads_to_packed(d1)], 0)
+    dv = jnp.concatenate([_heads_to_packed(dv0), _heads_to_packed(dv1)], 0)
+    return dqk, dv, None
+
+
+fused_cross_attention_stacked.defvjp(_fused_cross_stacked_fwd, _fused_cross_stacked_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))

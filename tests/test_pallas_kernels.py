@@ -224,6 +224,95 @@ class TestPackedKernels:
             np.asarray(m1_k)[0][v1m], np.asarray(m1_r)[0][v1m], atol=3e-5, rtol=1e-4
         )
 
+    def test_stacked_cross_matches_packed(self, rng):
+        """The stacked-sets entry (both sets on the batch axis, halves read
+        via BlockSpec index maps) must equal the two-array packed entry."""
+        import jax
+
+        from gluefactory_tpu.ops.pallas_attention import (
+            fused_cross_attention_packed,
+            fused_cross_attention_stacked,
+        )
+
+        b, n, heads, dh = 2, 300, 2, 32  # n spans multiple q blocks
+        d = heads * dh
+        qk0 = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        qk1 = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        v0 = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        v1 = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        mask0 = jnp.asarray(rng.rand(b, n) > 0.2)
+        mask1 = jnp.asarray(rng.rand(b, n) > 0.2)
+        qk = jnp.concatenate([qk0, qk1], 0)
+        v = jnp.concatenate([v0, v1], 0)
+        mask = jnp.concatenate([mask0, mask1], 0)
+
+        m0_s, m1_s = fused_cross_attention_stacked(qk, v, mask, heads)
+        m0_p, m1_p = fused_cross_attention_packed(
+            qk0, qk1, v0, v1, mask0, mask1, heads
+        )
+        np.testing.assert_allclose(
+            np.asarray(m0_s), np.asarray(m0_p), atol=3e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(m1_s), np.asarray(m1_p), atol=3e-5, rtol=1e-4
+        )
+
+        # gradients: stacked VJP vs packed VJP
+        gs = jax.grad(
+            lambda qk, v: sum(
+                (t**2).sum() for t in fused_cross_attention_stacked(qk, v, mask, heads)
+            ),
+            argnums=(0, 1),
+        )(qk, v)
+        gp = jax.grad(
+            lambda a, c, x, y: sum(
+                (t**2).sum()
+                for t in fused_cross_attention_packed(a, c, x, y, mask0, mask1, heads)
+            ),
+            argnums=(0, 1, 2, 3),
+        )(qk0, qk1, v0, v1)
+        np.testing.assert_allclose(
+            np.asarray(gs[0]), np.concatenate([gp[0], gp[1]], 0), atol=3e-3, rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(gs[1]), np.concatenate([gp[2], gp[3]], 0), atol=3e-3, rtol=1e-3
+        )
+
+    def test_bf16_io_close_to_f32(self, rng):
+        """bf16 activations flow through the packed kernels (half-cast
+        attention, reference lightglue.py:143): close to the f32 path."""
+        from gluefactory_tpu.ops.pallas_attention import (
+            fused_attention_packed,
+            fused_cross_attention_packed,
+        )
+
+        b, n, heads, dh = 1, 128, 2, 64
+        d = heads * dh
+        q = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, n, d), jnp.float32)
+        mask = jnp.asarray(rng.rand(b, n) > 0.25)
+        ref = fused_attention_packed(q, k, v, mask, mask, heads)
+        out = fused_attention_packed(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+            mask, mask, heads,
+        )
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=5e-2, rtol=5e-2
+        )
+        m0r, m1r = fused_cross_attention_packed(q, k, v, v, mask, mask, heads)
+        m0b, m1b = fused_cross_attention_packed(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), v.astype(jnp.bfloat16), mask, mask, heads,
+        )
+        np.testing.assert_allclose(
+            np.asarray(m0b, np.float32), np.asarray(m0r), atol=5e-2, rtol=5e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(m1b, np.float32), np.asarray(m1r), atol=5e-2, rtol=5e-2
+        )
+
     def test_packed_gradients(self, rng):
         import jax
 
