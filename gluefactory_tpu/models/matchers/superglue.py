@@ -21,9 +21,21 @@ from ...ops.attention import masked_attention
 from ..base_model import BaseModel
 from ..utils.losses import nll_loss
 from ..utils.metrics import matcher_metrics
-from .lightglue import normalize_keypoints
 
 _NEG_INF = -1e9
+
+
+def normalize_keypoints_superglue(kpts, size, mask=None):
+    """SuperGlue's own normalization (reference superglue.py:76-86):
+    shift by size/2, scale by max(size)*0.7 — NOT LightGlue's max/2."""
+    if size is None:
+        big = jnp.where(mask[..., None], kpts, -jnp.inf) if mask is not None else kpts
+        small = jnp.where(mask[..., None], kpts, jnp.inf) if mask is not None else kpts
+        size = 1.0 + jnp.max(big, axis=-2) - jnp.min(small, axis=-2)
+    size = size.astype(kpts.dtype)
+    shift = size / 2
+    scale = jnp.max(size, axis=-1) * 0.7
+    return (kpts - shift[..., None, :]) / scale[..., None, None]
 
 
 def log_sinkhorn_iterations(Z, log_mu, log_nu, iters: int):
@@ -102,6 +114,10 @@ class SuperGlue(BaseModel):
         "num_heads": 4,
         "sinkhorn_iterations": 50,
         "filter_threshold": 0.2,
+        # LayerNorm in the MLPs (TPU-friendly training default). Set False
+        # for converted official weights: the reference uses BatchNorm
+        # (superglue.py:70), which convert_weights folds into the convs.
+        "ln": True,
         "is_training": False,
         "loss": {"nll_balancing": 0.5},
     }
@@ -109,11 +125,11 @@ class SuperGlue(BaseModel):
 
     def setup(self):
         d = self.conf.descriptor_dim
-        self.kenc = _MLP(tuple(self.conf.keypoint_encoder) + (d,))
+        self.kenc = _MLP(tuple(self.conf.keypoint_encoder) + (d,), use_ln=self.conf.ln)
         layers = []
         for i in range(self.conf.GNN_layers):
-            layers.append(_GNNLayer(d, self.conf.num_heads, name=f"self_{i}"))
-            layers.append(_GNNLayer(d, self.conf.num_heads, name=f"cross_{i}"))
+            layers.append(_GNNLayer(d, self.conf.num_heads, self.conf.ln, name=f"self_{i}"))
+            layers.append(_GNNLayer(d, self.conf.num_heads, self.conf.ln, name=f"cross_{i}"))
         self.gnn_layers = layers
         self.final_proj = nn.Dense(d)
         self.bin_score = self.param("bin_score", nn.initializers.ones, ())
@@ -127,8 +143,8 @@ class SuperGlue(BaseModel):
         size0 = data.get("view0", {}).get("image_size")
         size1 = data.get("view1", {}).get("image_size")
 
-        kn0 = normalize_keypoints(kpts0, size0, mask0)
-        kn1 = normalize_keypoints(kpts1, size1, mask1)
+        kn0 = normalize_keypoints_superglue(kpts0, size0, mask0)
+        kn1 = normalize_keypoints_superglue(kpts1, size1, mask1)
         sc0 = data.get("keypoint_scores0", jnp.ones(kpts0.shape[:-1]))
         sc1 = data.get("keypoint_scores1", jnp.ones(kpts1.shape[:-1]))
 
@@ -182,6 +198,7 @@ class _GNNLayer(nn.Module):
 
     dim: int
     num_heads: int
+    use_ln: bool = True
 
     @nn.compact
     def __call__(self, x, source, mask_x, mask_s):
@@ -200,7 +217,9 @@ class _GNNLayer(nn.Module):
         b, _, n, _ = msg.shape
         msg = msg.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         msg = nn.Dense(self.dim)(msg)
-        update = _MLP((2 * self.dim, self.dim))(jnp.concatenate([x, msg], -1))
+        update = _MLP((2 * self.dim, self.dim), use_ln=self.use_ln)(
+            jnp.concatenate([x, msg], -1)
+        )
         return x + update
 
 

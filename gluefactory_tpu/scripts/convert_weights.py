@@ -1,12 +1,15 @@
 """Convert public PyTorch checkpoints into gluefactory_tpu parameter trees.
 
 Zero-egress environments cannot download weights, but users with the official
-checkpoints on disk can convert them:
+checkpoints on disk can convert them (no torch required — utils/torch_io.py
+reads both the zip and the legacy .pth formats):
 
     python -m gluefactory_tpu.scripts.convert_weights \
         --kind superpoint --input superpoint_v1.pth --output sp_ml.npz
     python -m gluefactory_tpu.scripts.convert_weights \
-        --kind lightglue --input superpoint_lightglue.pth --output lg.npz
+        --kind lightglue --input superpoint_lightglue_v0-1_arxiv.pth --output lg.npz
+    python -m gluefactory_tpu.scripts.convert_weights \
+        --kind superglue --input superglue_outdoor.pth --output sg.npz
 
 Mappings:
   - superpoint (MagicLeap .pth): convXy.weight (OIHW) -> convXy.kernel (HWIO),
@@ -14,7 +17,15 @@ Mappings:
   - lightglue (official cvg/LightGlue .pth, after the reference's renaming
     shim lightglue.py:423-430): per-layer tensors are STACKED onto the
     leading layer axis of our fused parameter layout
-    (models/matchers/lightglue.py setup).
+    (models/matchers/lightglue.py setup). The fused Wqkv output channels are
+    PERMUTED: upstream packs them (heads, head_dim, qkv-component)
+    (lightglue.py:184-186 unflatten), ours packs (component, head, head_dim)
+    so q/k/v are contiguous channel thirds.
+  - superglue (MagicLeap superglue_{indoor,outdoor}.pth): conv1d kernels ->
+    Dense kernels; BatchNorm1d running stats are FOLDED into the preceding
+    conv (exact at inference; use conf ln=False on our SuperGlue); attention
+    q/k/v/merge channels are permuted from the upstream dim-major head packing
+    (superglue.py:124 view(b, dim, h, -1)) to our head-major packing.
 """
 
 from __future__ import annotations
@@ -24,6 +35,9 @@ import argparse
 import numpy as np
 
 
+# --------------------------------------------------------------------------- #
+# SuperPoint (MagicLeap)
+# --------------------------------------------------------------------------- #
 def convert_superpoint(state: dict) -> dict:
     params = {}
     for name in (
@@ -36,77 +50,69 @@ def convert_superpoint(state: dict) -> dict:
     return {"params": params}
 
 
+# --------------------------------------------------------------------------- #
+# LightGlue
+# --------------------------------------------------------------------------- #
+def _qkv_permutation(d: int, num_heads: int) -> np.ndarray:
+    """Output-channel permutation upstream->ours for the fused Wqkv.
+
+    Upstream channel c = h*(3*dh) + i*3 + comp  (unflatten (H, dh, 3),
+    lightglue.py:184-186); ours c = comp*d + h*dh + i (jnp.split thirds).
+    Returns perm with ours[:, c] = upstream[:, perm[c]]."""
+    dh = d // num_heads
+    perm = np.arange(3 * d).reshape(num_heads, dh, 3).transpose(2, 0, 1).reshape(-1)
+    return perm
+
+
 def _stack(state, fmt, n, transpose=True):
     ws = [np.asarray(state[fmt.format(i)]) for i in range(n)]
     ws = [w.T if (transpose and w.ndim == 2) else w for w in ws]
     return np.stack(ws)
 
 
-def convert_lightglue(state: dict, n_layers: int = 9) -> dict:
+def convert_lightglue(state: dict, n_layers: int = 9, num_heads: int = 4) -> dict:
     """Official LightGlue state dict -> our stacked layout. Assumes upstream
     key names (transformers.{i}.self_attn..., matchability/final_proj under
-    log_assignment.{i}, token_confidence.{i}.token.0)."""
+    log_assignment.{i}, token_confidence.{i}.token.0) — apply the reference's
+    renaming shim (lightglue.py:423-430) first for v0.1 checkpoints."""
     p = {}
 
     def S(fmt):
         return _stack(state, fmt, n_layers)
 
-    p["self_Wqkv_w"] = S("transformers.{}.self_attn.Wqkv.weight")
-    p["self_Wqkv_b"] = np.stack(
-        [np.asarray(state[f"transformers.{i}.self_attn.Wqkv.bias"]) for i in range(n_layers)]
-    )
+    def B(fmt, n=n_layers):
+        return np.stack([np.asarray(state[fmt.format(i)]) for i in range(n)])
+
+    d = np.asarray(state["transformers.0.self_attn.out_proj.weight"]).shape[0]
+    perm = _qkv_permutation(d, num_heads)
+    p["self_Wqkv_w"] = S("transformers.{}.self_attn.Wqkv.weight")[:, :, perm]
+    p["self_Wqkv_b"] = B("transformers.{}.self_attn.Wqkv.bias")[:, perm]
     p["self_out_w"] = S("transformers.{}.self_attn.out_proj.weight")
-    p["self_out_b"] = np.stack(
-        [np.asarray(state[f"transformers.{i}.self_attn.out_proj.bias"]) for i in range(n_layers)]
-    )
+    p["self_out_b"] = B("transformers.{}.self_attn.out_proj.bias")
     for our, theirs in [("self_ffn1", "self_attn.ffn.0"), ("self_ffn2", "self_attn.ffn.3")]:
         p[f"{our}_w"] = S("transformers.{}." + theirs + ".weight")
-        p[f"{our}_b"] = np.stack(
-            [np.asarray(state[f"transformers.{i}.{theirs}.bias"]) for i in range(n_layers)]
-        )
-    p["self_ln_scale"] = np.stack(
-        [np.asarray(state[f"transformers.{i}.self_attn.ffn.1.weight"]) for i in range(n_layers)]
-    )
-    p["self_ln_bias"] = np.stack(
-        [np.asarray(state[f"transformers.{i}.self_attn.ffn.1.bias"]) for i in range(n_layers)]
-    )
+        p[f"{our}_b"] = B("transformers.{}." + theirs + ".bias")
+    p["self_ln_scale"] = B("transformers.{}.self_attn.ffn.1.weight")
+    p["self_ln_bias"] = B("transformers.{}.self_attn.ffn.1.bias")
 
     p["cross_qk_w"] = S("transformers.{}.cross_attn.to_qk.weight")
-    p["cross_qk_b"] = np.stack(
-        [np.asarray(state[f"transformers.{i}.cross_attn.to_qk.bias"]) for i in range(n_layers)]
-    )
+    p["cross_qk_b"] = B("transformers.{}.cross_attn.to_qk.bias")
     p["cross_v_w"] = S("transformers.{}.cross_attn.to_v.weight")
-    p["cross_v_b"] = np.stack(
-        [np.asarray(state[f"transformers.{i}.cross_attn.to_v.bias"]) for i in range(n_layers)]
-    )
+    p["cross_v_b"] = B("transformers.{}.cross_attn.to_v.bias")
     p["cross_out_w"] = S("transformers.{}.cross_attn.to_out.weight")
-    p["cross_out_b"] = np.stack(
-        [np.asarray(state[f"transformers.{i}.cross_attn.to_out.bias"]) for i in range(n_layers)]
-    )
+    p["cross_out_b"] = B("transformers.{}.cross_attn.to_out.bias")
     for our, theirs in [("cross_ffn1", "cross_attn.ffn.0"), ("cross_ffn2", "cross_attn.ffn.3")]:
         p[f"{our}_w"] = S("transformers.{}." + theirs + ".weight")
-        p[f"{our}_b"] = np.stack(
-            [np.asarray(state[f"transformers.{i}.{theirs}.bias"]) for i in range(n_layers)]
-        )
-    p["cross_ln_scale"] = np.stack(
-        [np.asarray(state[f"transformers.{i}.cross_attn.ffn.1.weight"]) for i in range(n_layers)]
-    )
-    p["cross_ln_bias"] = np.stack(
-        [np.asarray(state[f"transformers.{i}.cross_attn.ffn.1.bias"]) for i in range(n_layers)]
-    )
+        p[f"{our}_b"] = B("transformers.{}." + theirs + ".bias")
+    p["cross_ln_scale"] = B("transformers.{}.cross_attn.ffn.1.weight")
+    p["cross_ln_bias"] = B("transformers.{}.cross_attn.ffn.1.bias")
 
     p["assign_proj_w"] = S("log_assignment.{}.final_proj.weight")
-    p["assign_proj_b"] = np.stack(
-        [np.asarray(state[f"log_assignment.{i}.final_proj.bias"]) for i in range(n_layers)]
-    )
+    p["assign_proj_b"] = B("log_assignment.{}.final_proj.bias")
     p["assign_match_w"] = S("log_assignment.{}.matchability.weight")
-    p["assign_match_b"] = np.stack(
-        [np.asarray(state[f"log_assignment.{i}.matchability.bias"]) for i in range(n_layers)]
-    )
+    p["assign_match_b"] = B("log_assignment.{}.matchability.bias")
     p["conf_head_w"] = _stack(state, "token_confidence.{}.token.0.weight", n_layers - 1)
-    p["conf_head_b"] = np.stack(
-        [np.asarray(state[f"token_confidence.{i}.token.0.bias"]) for i in range(n_layers - 1)]
-    )
+    p["conf_head_b"] = B("token_confidence.{}.token.0.bias", n_layers - 1)
     p["posenc_Wr"] = np.asarray(state["posenc.Wr.weight"]).T
     if "input_proj.weight" in state:
         p["input_proj_w"] = np.asarray(state["input_proj.weight"]).T
@@ -117,48 +123,147 @@ def convert_lightglue(state: dict, n_layers: int = 9) -> dict:
     return {"params": p}
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--kind", choices=["superpoint", "lightglue"], required=True)
-    parser.add_argument("--input", required=True)
-    parser.add_argument("--output", required=True)
-    parser.add_argument("--n_layers", type=int, default=9)
-    args = parser.parse_args()
+def rename_lightglue_v01(state: dict, n_layers: int = 9) -> dict:
+    """The reference's renaming shim for v0.1 checkpoints
+    (lightglue.py:423-430): self_attn.{i} -> transformers.{i}.self_attn."""
+    for i in range(n_layers):
+        state = {
+            k.replace(f"self_attn.{i}", f"transformers.{i}.self_attn"): v
+            for k, v in state.items()
+        }
+        state = {
+            k.replace(f"cross_attn.{i}", f"transformers.{i}.cross_attn"): v
+            for k, v in state.items()
+        }
+    return state
 
-    import torch
 
-    state = torch.load(args.input, map_location="cpu")
-    if isinstance(state, dict) and "model" in state:
-        state = state["model"]
-    state = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in state.items()}
-    if args.kind == "superpoint":
-        tree = convert_superpoint(state)
-    else:
-        # apply the reference's renaming shim (lightglue.py:423-430)
-        for i in range(args.n_layers):
-            state = {
-                k.replace(f"self_attn.{i}", f"transformers.{i}.self_attn"): v
-                for k, v in state.items()
-            }
-            state = {
-                k.replace(f"cross_attn.{i}", f"transformers.{i}.cross_attn"): v
-                for k, v in state.items()
-            }
-        tree = convert_lightglue(state, args.n_layers)
+# --------------------------------------------------------------------------- #
+# SuperGlue (MagicLeap)
+# --------------------------------------------------------------------------- #
+def _fold_bn(kernel: np.ndarray, bias: np.ndarray, state: dict, bn_prefix: str):
+    """Fold BatchNorm1d (eval mode) into the preceding linear: exact at
+    inference. kernel is (in, out); BN is over the out channels."""
+    gamma = np.asarray(state[f"{bn_prefix}.weight"])
+    beta = np.asarray(state[f"{bn_prefix}.bias"])
+    mean = np.asarray(state[f"{bn_prefix}.running_mean"])
+    var = np.asarray(state[f"{bn_prefix}.running_var"])
+    eps = 1e-5
+    scale = gamma / np.sqrt(var + eps)
+    return kernel * scale[None, :], (bias - mean) * scale + beta
 
+
+def _conv1d_to_dense(state: dict, key: str):
+    """torch Conv1d(k=1) weight (out, in, 1) -> flax Dense kernel (in, out)."""
+    w = np.asarray(state[f"{key}.weight"])[:, :, 0].T
+    b = np.asarray(state[f"{key}.bias"])
+    return w, b
+
+
+def _sg_head_permutation(d: int, num_heads: int) -> np.ndarray:
+    """Channel permutation upstream->ours for SuperGlue attention tensors.
+
+    Upstream views the d channels as (head_dim, heads): c = i*H + h
+    (superglue.py:124 .view(b, dim, h, -1)); ours as (heads, head_dim):
+    c = h*dh + i. Returns perm with ours[c] = upstream[perm[c]]."""
+    dh = d // num_heads
+    return np.arange(d).reshape(dh, num_heads).T.reshape(-1)
+
+
+def convert_superglue(state: dict, n_gnn_layers: int = 9, num_heads: int = 4) -> dict:
+    """MagicLeap SuperGlue state dict -> our flax tree (conf ln=False)."""
+    p: dict = {}
+
+    # keypoint encoder: convs at indices 0,3,6,... with BN at +1 (except last)
+    enc_keys = sorted(
+        {int(k.split(".")[2]) for k in state if k.startswith("kenc.encoder.") and k.endswith(".weight") and "running" not in k}
+    )
+    conv_idxs = [i for i in enc_keys if f"kenc.encoder.{i}.bias" in state and state[f"kenc.encoder.{i}.weight"].ndim == 3]
+    kenc = {}
+    for j, ci in enumerate(conv_idxs):
+        w, b = _conv1d_to_dense(state, f"kenc.encoder.{ci}")
+        if j < len(conv_idxs) - 1:  # BN follows every conv but the last
+            w, b = _fold_bn(w, b, state, f"kenc.encoder.{ci + 1}")
+        kenc[f"Dense_{j}"] = {"kernel": w, "bias": b}
+    p["kenc"] = kenc
+
+    d = np.asarray(state["final_proj.weight"]).shape[0]
+    perm = _sg_head_permutation(d, num_heads)
+    for i in range(2 * n_gnn_layers):
+        ours = f"self_{i // 2}" if i % 2 == 0 else f"cross_{i // 2}"
+        pre = f"gnn.layers.{i}"
+        layer: dict = {}
+        for j in range(3):  # q, k, v: output channels permuted to head-major
+            w, b = _conv1d_to_dense(state, f"{pre}.attn.proj.{j}")
+            layer[f"Dense_{j}"] = {"kernel": w[:, perm], "bias": b[perm]}
+        # merge: input channels arrive in upstream packing -> permute rows
+        w, b = _conv1d_to_dense(state, f"{pre}.attn.merge")
+        layer["Dense_3"] = {"kernel": w[perm, :], "bias": b}
+        # mlp: Conv1d(2d,2d) + BN + ReLU + Conv1d(2d,d)
+        w0, b0 = _conv1d_to_dense(state, f"{pre}.mlp.0")
+        w0, b0 = _fold_bn(w0, b0, state, f"{pre}.mlp.1")
+        w1, b1 = _conv1d_to_dense(state, f"{pre}.mlp.3")
+        layer["_MLP_0"] = {
+            "Dense_0": {"kernel": w0, "bias": b0},
+            "Dense_1": {"kernel": w1, "bias": b1},
+        }
+        p[ours] = layer
+
+    w = np.asarray(state["final_proj.weight"])[:, :, 0].T if state["final_proj.weight"].ndim == 3 else np.asarray(state["final_proj.weight"]).T
+    p["final_proj"] = {"kernel": w, "bias": np.asarray(state["final_proj.bias"])}
+    p["bin_score"] = np.asarray(state["bin_score"]).reshape(())
+    return {"params": p}
+
+
+# --------------------------------------------------------------------------- #
+# I/O
+# --------------------------------------------------------------------------- #
+def flatten_tree(tree: dict) -> dict:
     flat = {}
 
-    def flatten(prefix, d):
+    def rec(prefix, d):
         for k, v in d.items():
             key = f"{prefix}/{k}" if prefix else k
             if isinstance(v, dict):
-                flatten(key, v)
+                rec(key, v)
             else:
-                flat[key] = v
+                flat[key] = np.asarray(v)
 
-    flatten("", tree)
-    np.savez(args.output, **flat)
-    print(f"Wrote {len(flat)} arrays to {args.output}")
+    rec("", tree)
+    return flat
+
+
+def save_tree_npz(tree: dict, path: str) -> int:
+    flat = flatten_tree(tree)
+    np.savez(path, **flat)
+    return len(flat)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--kind", choices=["superpoint", "lightglue", "superglue"], required=True
+    )
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--n_layers", type=int, default=9)
+    parser.add_argument("--num_heads", type=int, default=4)
+    args = parser.parse_args()
+
+    from ..utils import torch_io
+
+    state = torch_io.load_state_dict(args.input)
+    state = {k: np.asarray(v, np.float32) if np.asarray(v).dtype.kind == "f" else np.asarray(v) for k, v in state.items()}
+    if args.kind == "superpoint":
+        tree = convert_superpoint(state)
+    elif args.kind == "superglue":
+        tree = convert_superglue(state, args.n_layers, args.num_heads)
+    else:
+        state = rename_lightglue_v01(state, args.n_layers)
+        tree = convert_lightglue(state, args.n_layers, args.num_heads)
+
+    n = save_tree_npz(tree, args.output)
+    print(f"Wrote {n} arrays to {args.output}")
 
 
 if __name__ == "__main__":
