@@ -32,15 +32,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with the leading axis sharded over the mesh.
-    Scalars/objects without a leading divisible axis are replicated."""
+def shard_batch(batch, mesh: Mesh, strict: bool = True):
+    """Device-put a host batch with the leading (batch) axis sharded over the
+    mesh; scalars and non-batch leaves are replicated.
+
+    The batch size is taken from the first array leaf. `strict` (default)
+    raises when that batch size is not divisible by the mesh size — silently
+    replicating a mis-sized batch would hide a wrong-global-batch bug (each
+    device would redo the full batch instead of its shard)."""
     n = mesh.devices.size
     data_s = batch_sharding(mesh)
     repl = replicated(mesh)
 
+    leaves = [x for x in jax.tree.leaves(batch) if hasattr(x, "shape") and x.ndim >= 1]
+    bs = leaves[0].shape[0] if leaves else None
+    if strict and bs is not None and bs % n != 0:
+        raise ValueError(
+            f"batch size {bs} is not divisible by the {n}-device mesh; pad the "
+            f"batch or pass strict=False to replicate instead"
+        )
+
     def put(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == bs and bs % n == 0:
             return jax.device_put(x, data_s)
         return jax.device_put(x, repl)
 

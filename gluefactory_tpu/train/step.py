@@ -53,11 +53,16 @@ def make_optimizer(conf) -> optax.GradientTransformation:
     return tx
 
 
-def make_train_step(model, tx: optax.GradientTransformation):
+def make_train_step(model, tx: optax.GradientTransformation, grad_stats: bool = False):
     """Build the jittable train step for a TwoViewPipeline-style model.
 
     The returned function is pure and shape-static: jit it with batch sharded
     over the mesh and state replicated. Returns (state, losses_dict).
+
+    `grad_stats` additionally reports the pre-clip global gradient norm and
+    per-top-module norms under `grad/...` keys in the losses dict (counterpart
+    of the reference's gradient norm/histogram logging, train.py:507-519);
+    these are scalars folded into the same SPMD program, so the cost is nil.
     """
 
     def train_step(state: TrainState, batch: dict):
@@ -92,6 +97,11 @@ def make_train_step(model, tx: optax.GradientTransformation):
         )
         losses = {k: jnp.mean(v) for k, v in losses.items()}
         losses["skipped_nonfinite"] = 1.0 - finite.astype(jnp.float32)
+        if grad_stats:
+            sq = jax.tree.map(lambda g: jnp.sum(jnp.square(g.astype(jnp.float32))), grads)
+            losses["grad/norm"] = jnp.sqrt(sum(jax.tree.leaves(sq)))
+            for mod, sub in (sq.items() if isinstance(sq, dict) else ()):
+                losses[f"grad/norm/{mod}"] = jnp.sqrt(sum(jax.tree.leaves(sub)))
         return new_state, losses
 
     return train_step

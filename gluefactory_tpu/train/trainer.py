@@ -49,6 +49,11 @@ default_train_conf = {
     "eval_every_iter": 1000,
     "save_every_iter": 5000,
     "log_every_iter": 100,
+    # gradient observability (reference train.py:66,507-519): every N iters
+    # log the pre-clip global grad norm, per-module norms, and a histogram of
+    # the per-module norm distribution; None/0 disables (and removes the stats
+    # from the compiled step entirely).
+    "log_grad_every_iter": None,
     "keep_last_checkpoints": 5,
     "best_key": "loss/total",
     "overfit": False,
@@ -171,7 +176,8 @@ class Trainer:
 
         repl = replicated(self.mesh)
         self.state = jax.device_put(state, repl)
-        step_fn = make_train_step(self.model, self.tx)
+        grad_every = conf.train.get("log_grad_every_iter") or 0
+        step_fn = make_train_step(self.model, self.tx, grad_stats=grad_every > 0)
         self.train_step = jax.jit(step_fn, out_shardings=(repl, repl), donate_argnums=0)
 
         self.eval_fn = jax.jit(self._eval_step)
@@ -201,7 +207,9 @@ class Trainer:
         loader = self.dataset.get_data_loader("val", epoch=epoch)
         count = 0
         for batch in loader:
-            batch = shard_batch(batch_to_device(batch), self.mesh)
+            # small validation batches may not divide the mesh; replication is
+            # acceptable here (metrics only), unlike the strict train path
+            batch = shard_batch(batch_to_device(batch), self.mesh, strict=False)
             if count == 0 and conf.plot and self.writer is not None:
                 self._plot_batch(batch, it)
             losses, metrics = self.eval_fn(self.state, batch)
@@ -280,6 +288,19 @@ class Trainer:
                     batch = shard_batch(batch_to_device(batch), self.mesh)
                     self.state, losses = self.train_step(self.state, batch)
                     it_total += 1
+                    grad_stats = {k: v for k, v in losses.items() if k.startswith("grad/")}
+                    losses = {k: v for k, v in losses.items() if not k.startswith("grad/")}
+                    grad_every = conf.get("log_grad_every_iter") or 0
+                    if grad_every and it_total % grad_every == 0:
+                        if self.writer is not None:
+                            self.writer.scalars(it_total, grad_stats, prefix="train/")
+                            per_mod = [v for k, v in grad_stats.items()
+                                       if k.startswith("grad/norm/")]
+                            if per_mod:
+                                self.writer.histogram(
+                                    it_total, "train/grad/module_norms",
+                                    np.asarray([float(v) for v in per_mod]),
+                                )
                     if conf.profile and it_total == conf.profile_end:
                         jax.block_until_ready(losses["total"])
                         jax.profiler.stop_trace()

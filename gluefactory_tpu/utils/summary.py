@@ -43,6 +43,36 @@ class ExperimentWriter:
             for k, v in clean.items():
                 self._tb.add_scalar(k, v, step)
 
+    def histogram(self, step: int, name: str, values) -> None:
+        """Log a value distribution: bin counts into events.jsonl (hermetic)
+        and a real histogram to TB when available (counterpart of the
+        reference's add_histogram calls, train.py:507-519)."""
+        import numpy as np
+
+        vals = np.asarray(values, np.float64).reshape(-1)
+        vals = vals[np.isfinite(vals)]
+        if vals.size == 0:
+            return
+        counts, edges = np.histogram(vals, bins=min(16, max(1, vals.size)))
+        self._events.write(
+            json.dumps(
+                {
+                    "step": int(step),
+                    "ts": time.time(),
+                    f"{name}__hist": {
+                        "counts": counts.tolist(),
+                        "edges": np.round(edges, 6).tolist(),
+                        "mean": float(vals.mean()),
+                        "max": float(vals.max()),
+                    },
+                }
+            )
+            + "\n"
+        )
+        self._events.flush()
+        if self._tb is not None:
+            self._tb.add_histogram(name, vals, step)
+
     def figure(self, step: int, name: str, fig) -> Path:
         """Save a matplotlib figure as PNG (and to TB if available)."""
         fig_dir = self.dir / "figures"

@@ -54,6 +54,10 @@ def kernel(q_ref, k_ref, v_ref, o_ref, *, variant):
             )
             o_ref[0, :, h * dh:(h + 1) * dh] = (o / (denom + 1e-30)).astype(o_ref.dtype)
         return
+    # production-kernel mask work (colbias add + clamped rowmax), so the
+    # 'full' baseline matches _attention_kernel_packed's body exactly
+    # (ADVICE r1: the earlier variant omitted it and understated VPU cost)
+    colbias = jnp.zeros((N,), jnp.float32)
     for h in range(HEADS):
         q = q_ref[0, :, h * dh:(h + 1) * dh] * 0.125
         k = k_ref[0, :, h * dh:(h + 1) * dh]
@@ -62,8 +66,13 @@ def kernel(q_ref, k_ref, v_ref, o_ref, *, variant):
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if variant == "dot1":
-            o_ref[0, :, h * dh:(h + 1) * dh] = sim[:, :dh].astype(o_ref.dtype)
+            # consume ALL of sim (folded N/dh column groups) so the compiler
+            # cannot dead-code-eliminate part of the QK^T dot (ADVICE r1)
+            o_ref[0, :, h * dh:(h + 1) * dh] = (
+                sim.reshape(BQ, N // dh, dh).sum(1).astype(o_ref.dtype)
+            )
             continue
+        sim = sim + colbias[None, :]
         if variant == "nosoftmax":
             e = sim
             denom = 1.0
@@ -71,7 +80,7 @@ def kernel(q_ref, k_ref, v_ref, o_ref, *, variant):
             # exp on bf16 lanes (2/cycle) emitting bf16 directly: kills both
             # the f32 exp and the separate f32->bf16 cast before the AV dot;
             # denominator still accumulated in f32
-            rowmax = jnp.max(sim, -1, keepdims=True)
+            rowmax = jnp.maximum(jnp.max(sim, -1, keepdims=True), -1e4)
             e = jnp.exp((sim - rowmax).astype(jnp.bfloat16))
             denom = jnp.sum(e.astype(jnp.float32), -1, keepdims=True)
         elif variant == "noexp":
@@ -79,7 +88,7 @@ def kernel(q_ref, k_ref, v_ref, o_ref, *, variant):
             e = sim - rowmax
             denom = jnp.sum(e, -1, keepdims=True)
         else:
-            rowmax = jnp.max(sim, -1, keepdims=True)
+            rowmax = jnp.maximum(jnp.max(sim, -1, keepdims=True), -1e4)
             e = jnp.exp(sim - rowmax)
             denom = jnp.sum(e, -1, keepdims=True)
         o = jax.lax.dot_general(
@@ -107,7 +116,10 @@ def run(q, k, v, variant):
     )
 
     def body(x, _):
-        return f(x, k, v), None
+        # damp the carry so ablated variants ('nosoftmax', 'dot1') with
+        # unnormalized outputs cannot blow up to inf across the 27 chained
+        # calls (ADVICE r1; timings are value-independent either way)
+        return (f(x, k, v) * jnp.asarray(0.01, x.dtype)), None
 
     out, _ = jax.lax.scan(body, q, None, length=CALLS)
     return out.astype(jnp.float32).sum()

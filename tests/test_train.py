@@ -51,6 +51,7 @@ def tiny_conf(tmpdir):
             "eval_every_iter": -1,
             "save_every_iter": -1,
             "log_every_iter": 1,
+            "log_grad_every_iter": 1,
             "lr": 1e-4,
             "plot": [1, "gluefactory_tpu.visualization.visualize_batch.make_match_figures"],
         },
@@ -173,6 +174,11 @@ class TestTrainerEndToEnd:
         events = (exp_dir / "events.jsonl").read_text().strip().splitlines()
         assert any("train/loss/total" in line for line in events)
         assert any("val/" in line for line in events)
+        # gradient observability (reference train.py:507-519): global norm,
+        # per-module norms, and the module-norm histogram all in events.jsonl
+        assert any("train/grad/norm" in line for line in events)
+        assert any("train/grad/norm/matcher" in line for line in events)
+        assert any("train/grad/module_norms__hist" in line for line in events)
         assert list((exp_dir / "figures").glob("matching_*.png"))
 
         # checkpoint written at end of epoch; restore and verify params equal
