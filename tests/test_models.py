@@ -280,6 +280,75 @@ class TestLightGlue:
         assert pred["matches0"].shape == (1, 32)
         assert 0 <= int(pred["stop_layer"]) <= 2
 
+    def test_adaptive_no_exit_equals_scan(self, model_and_params, rng):
+        """VERDICT r1 #4: the while_loop adaptive path (dynamic layer slices)
+        must be numerically identical to the lax.scan full-depth path when no
+        early exit fires (reference lightglue.py:527-531 semantics: adaptivity
+        may only change WHEN you stop, not the per-layer math)."""
+        model, params = model_and_params
+        base = {"n_layers": 3, "descriptor_dim": 64, "input_dim": 64, "num_heads": 2}
+        data, _, _ = make_matching_data(rng, b=1, n=32, d=64)
+
+        full = get_model("lightglue").from_conf(base).apply(params, data)
+        # depth_confidence ~1.0 is unreachable for a random-init confidence
+        # head -> the adaptive loop runs all layers
+        adapt = get_model("lightglue").from_conf(
+            {**base, "depth_confidence": 0.999999}
+        ).apply(params, data)
+        assert int(adapt["stop_layer"]) == 2
+        np.testing.assert_array_equal(
+            np.asarray(adapt["matches0"]), np.asarray(full["matches0"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(adapt["matching_scores0"]),
+            np.asarray(full["matching_scores0"]), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(adapt["log_assignment"]),
+            np.asarray(full["log_assignment"]), atol=1e-4,
+        )
+
+    def test_adaptive_confident_exit_matches_truncated_model(self, model_and_params, rng):
+        """When every token is confident, the adaptive path must exit after
+        layer 0 and produce EXACTLY the matches of a 1-layer model sharing the
+        first layer's weights (reference check_if_stop :595-606: early exit
+        returns the assignment at the exit layer)."""
+        model, params = model_and_params
+        base = {"n_layers": 3, "descriptor_dim": 64, "input_dim": 64, "num_heads": 2}
+        data, _, _ = make_matching_data(rng, b=1, n=32, d=64)
+
+        # force confidence ~ 1 at every layer via the confidence-head bias
+        p = jax.tree.map(lambda x: x, params)
+        p = {"params": dict(p["params"])}
+        p["params"]["conf_head_b"] = jnp.full_like(p["params"]["conf_head_b"], 10.0)
+
+        adapt = get_model("lightglue").from_conf(
+            {**base, "depth_confidence": 0.95}
+        ).apply(p, data)
+        assert int(adapt["stop_layer"]) == 0
+
+        stacked_prefixes = (
+            "self_Wqkv", "self_out", "self_ffn1", "self_ffn2", "self_ln",
+            "cross_qk", "cross_v", "cross_out", "cross_ffn1", "cross_ffn2",
+            "cross_ln", "assign_proj", "assign_match", "conf_head",
+        )
+        trunc = {
+            "params": {
+                k: (v[:1] if k.startswith(stacked_prefixes) else v)
+                for k, v in p["params"].items()
+            }
+        }
+        one_layer = get_model("lightglue").from_conf({**base, "n_layers": 1}).apply(
+            trunc, data
+        )
+        np.testing.assert_array_equal(
+            np.asarray(adapt["matches0"]), np.asarray(one_layer["matches0"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(adapt["matching_scores0"]),
+            np.asarray(one_layer["matching_scores0"]), atol=1e-5,
+        )
+
 
 class TestSuperPoint:
     def test_detects_corners(self, rng):

@@ -1,0 +1,280 @@
+"""Real-disk-schema benchmark tests (VERDICT r1 #6).
+
+Builds fixtures that mirror the ACTUAL on-disk layouts the reference consumes
+(/root/reference/gluefactory/datasets/hpatches.py:38-114 directory tree,
+eval/megadepth1500.py pairs_calibrated.txt format) and drives the full
+benchmark pipelines end to end: dataset scan -> export (host SIFT + jitted
+match) -> predictions.h5 -> cached eval -> RANSAC threshold sweep ->
+summaries.json, with quantitative floors. One test invokes the real
+`python -m gluefactory_tpu.eval.hpatches` CLI in a subprocess.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _texture(rng, h, w):
+    """Corner-rich synthetic texture (SIFT needs blobs/corners)."""
+    img = rng.uniform(0.2, 0.8, (h // 8, w // 8)).astype(np.float32)
+    img = cv2.resize(img, (w, h), interpolation=cv2.INTER_CUBIC)
+    for _ in range(120):
+        x, y = rng.randint(5, w - 25), rng.randint(5, h - 25)
+        sw, sh = rng.randint(6, 22), rng.randint(6, 22)
+        img[y : y + sh, x : x + sw] = rng.uniform(0, 1)
+    img = cv2.GaussianBlur(img, (3, 3), 0.8)
+    img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    return np.repeat(img[..., None], 3, axis=-1)  # 3-channel for imwrite
+
+
+def _random_homography(rng, h, w, mag=0.12):
+    """Mild perspective warp keeping the frame mostly in view."""
+    src = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float32)
+    jitter = (rng.uniform(-mag, mag, (4, 2)) * [w, h]).astype(np.float32)
+    dst = (src + jitter).astype(np.float32)
+    return cv2.getPerspectiveTransform(src, dst)
+
+
+@pytest.fixture(scope="module")
+def hpatches_tree(tmp_path_factory):
+    """DATA_PATH/hpatches-sequences-release/<scene>/{1..6}.ppm + H_1_{2..6},
+    exactly the layout the reference downloads."""
+    rng = np.random.RandomState(0)
+    data_dir = tmp_path_factory.mktemp("data")
+    root = data_dir / "hpatches-sequences-release"
+    h, w = 480, 640
+    gt = {}
+    for scene in ("i_synth", "v_synth"):
+        sdir = root / scene
+        sdir.mkdir(parents=True)
+        base = _texture(rng, h, w)
+        cv2.imwrite(str(sdir / "1.ppm"), base)
+        for i in range(2, 7):
+            H = _random_homography(rng, h, w, mag=0.10 if scene[0] == "v" else 0.04)
+            warped = cv2.warpPerspective(base, H, (w, h), flags=cv2.INTER_LINEAR)
+            if scene[0] == "i":  # illumination scenes: same geometry-ish + gain
+                pass
+            cv2.imwrite(str(sdir / f"{i}.ppm"), warped)
+            np.savetxt(sdir / f"H_1_{i}", H)
+            gt[f"{scene}/{i}"] = H
+    return data_dir, root, gt
+
+
+class TestHPatchesRealSchema:
+    @pytest.fixture(scope="class")
+    def run(self, hpatches_tree, tmp_path_factory):
+        data_dir, _, _ = hpatches_tree
+        import gluefactory_tpu.datasets.hpatches as hp_mod
+        from gluefactory_tpu.eval.hpatches import HPatchesPipeline
+
+        old = hp_mod.DATA_PATH
+        hp_mod.DATA_PATH = data_dir
+        try:
+            conf = {
+                "data": {"preprocessing": {"resize": 480, "side": "short",
+                                           "pad_to": [864, 480]}},
+                "model": {
+                    "extractor": {"name": "sift", "max_num_keypoints": 512},
+                    "matcher": {"name": "nearest_neighbor_matcher",
+                                "ratio_thresh": 0.9},
+                },
+                # threshold sweep exercised on the real schema (reference
+                # hpatches.py:101-105 ransac_th < 0 -> sweep)
+                "eval": {"ransac_th": -1},
+            }
+            out = tmp_path_factory.mktemp("hp_eval") / "run"
+            pipe = HPatchesPipeline(conf)
+            summaries, figures, results = pipe.run(Path(out))
+            return out, summaries, results
+        finally:
+            hp_mod.DATA_PATH = old
+
+    def test_dataset_scan_matches_reference_layout(self, hpatches_tree):
+        data_dir, _, _ = hpatches_tree
+        import gluefactory_tpu.datasets.hpatches as hp_mod
+
+        old = hp_mod.DATA_PATH
+        hp_mod.DATA_PATH = data_dir
+        try:
+            ds = hp_mod.HPatchesDataset({})
+            split = ds.get_dataset("test")
+            assert len(split) == 2 * 5
+            item = split[0]
+            assert item["name"] == "i_synth/2"
+            assert item["H_0to1"].shape == (3, 3)
+            # dataset defaults: 480-short resize, grayscale, no pad
+            assert item["view0"]["image"].shape == (480, 640, 1)
+            # the benchmark's static pad box applies through the conf
+            ds_pad = hp_mod.HPatchesDataset(
+                {"preprocessing": {"resize": 480, "side": "short",
+                                   "pad_to": [864, 480]}}
+            )
+            item_p = ds_pad.get_dataset("test")[0]
+            assert item_p["view0"]["image"].shape == (480, 864, 1)
+        finally:
+            hp_mod.DATA_PATH = old
+
+    def test_floors_and_sweep_summaries(self, run):
+        out, s, _ = run
+        # reference-style floors (tests/test_integration.py:106-108 analog)
+        assert s["mprec@3px"] > 0.8, s
+        assert s["mnum_matches"] > 50, s
+        assert s["mH_error_ransac"] < 1.0, s
+        assert s["H_error_ransac@3px"] > 0.7, s
+        assert "best_ransac_th" in s or any("ransac" in k for k in s), s
+
+    def test_artifacts(self, run):
+        out, _, _ = run
+        assert (out / "predictions.h5").exists()
+        assert (out / "results.h5").exists()
+        assert json.loads((out / "summaries.json").read_text())
+
+
+class TestHPatchesCLI:
+    def test_module_cli_end_to_end(self, hpatches_tree, tmp_path):
+        """The actual `python -m gluefactory_tpu.eval.hpatches` entrypoint:
+        argparse + dotlist overrides + conf layering + both phases."""
+        data_dir, _, _ = hpatches_tree
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env["GLUEFACTORY_TPU_DATA"] = str(data_dir)
+        env["GLUEFACTORY_TPU_EVAL"] = str(tmp_path / "results")
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+        cmd = [
+            sys.executable, "-m", "gluefactory_tpu.eval.hpatches",
+            "--tag", "cli_test",
+            "data.subset=v",
+            "model.extractor.name=sift",
+            "model.extractor.max_num_keypoints=512",
+            "model.matcher.name=nearest_neighbor_matcher",
+            "model.matcher.ratio_thresh=0.9",
+            "eval.ransac_th=2.0",
+        ]
+        proc = subprocess.run(
+            cmd, env=env, cwd=str(REPO), capture_output=True, text=True,
+            timeout=540,
+        )
+        assert proc.returncode == 0, proc.stderr[-4000:]
+        sfile = tmp_path / "results" / "hpatches" / "cli_test" / "summaries.json"
+        assert sfile.exists(), proc.stderr[-2000:]
+        s = json.loads(sfile.read_text())
+        assert s["mprec@3px"] > 0.8, s
+        assert s["mH_error_ransac"] < 1.5, s
+
+
+# --------------------------------------------------------------- megadepth1500
+def _two_plane_pair(rng, h=480, w=640):
+    """Two-view pair of a scene with TWO fronto-parallel textured planes at
+    different depths (non-planar structure -> essential-matrix estimation is
+    well-posed), with exact K0/K1/T_0to1 as in pairs_calibrated.txt."""
+    f = 600.0
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float64)
+    ang = np.deg2rad(4.0)
+    R = np.array(
+        [[np.cos(ang), 0, np.sin(ang)], [0, 1, 0], [-np.sin(ang), 0, np.cos(ang)]]
+    )
+    t = np.array([0.45, 0.05, 0.0])
+
+    img0 = _texture(rng, h, w)
+
+    def plane_H(depth):
+        # backproject img0 corners to z=depth (cam0), map to cam1, project
+        corners = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float64)
+        X0 = depth * (np.linalg.inv(K) @ np.c_[corners, np.ones(4)].T)  # (3,4)
+        X1 = R @ X0 + t[:, None]
+        uv1 = (K @ X1)[:2] / (K @ X1)[2]
+        return cv2.getPerspectiveTransform(
+            corners.astype(np.float32), uv1.T.astype(np.float32)
+        )
+
+    H_near, H_far = plane_H(4.0), plane_H(8.0)
+    warp_near = cv2.warpPerspective(img0, H_near, (w, h))
+    warp_far = cv2.warpPerspective(img0, H_far, (w, h))
+    # left half of the scene is the near plane, right half the far plane
+    mask0 = np.zeros((h, w), np.uint8)
+    mask0[:, : w // 2] = 1
+    near_region = cv2.warpPerspective(mask0, H_near, (w, h))
+    img1 = np.where(near_region[..., None] > 0, warp_near, warp_far)
+
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return img0, img1, K, T
+
+
+@pytest.fixture(scope="module")
+def megadepth1500_tree(tmp_path_factory):
+    """DATA_PATH/megadepth1500/{images/..., pairs_calibrated.txt} with the
+    reference's 36-field calibrated-pair lines."""
+    rng = np.random.RandomState(1)
+    data_dir = tmp_path_factory.mktemp("md_data")
+    root = data_dir / "megadepth1500"
+    (root / "images" / "0022").mkdir(parents=True)
+    lines = []
+    for p in range(2):
+        img0, img1, K, T = _two_plane_pair(rng)
+        n0, n1 = f"0022/pair{p}_a.jpg", f"0022/pair{p}_b.jpg"
+        cv2.imwrite(str(root / "images" / n0), img0)
+        cv2.imwrite(str(root / "images" / n1), img1)
+        fields = (
+            [n0, n1]
+            + [f"{x:.6f}" for x in K.reshape(-1)]
+            + [f"{x:.6f}" for x in K.reshape(-1)]
+            + [f"{x:.9f}" for x in T.reshape(-1)]
+        )
+        lines.append(" ".join(fields))
+    (root / "pairs_calibrated.txt").write_text("\n".join(lines) + "\n")
+    return data_dir
+
+
+class TestMegaDepth1500RealSchema:
+    def test_full_pipeline_on_calibrated_pairs(self, megadepth1500_tree, tmp_path):
+        import gluefactory_tpu.datasets.image_pairs as ip_mod
+        from gluefactory_tpu.eval.megadepth1500 import MegaDepth1500Pipeline
+
+        old = ip_mod.DATA_PATH
+        ip_mod.DATA_PATH = megadepth1500_tree
+        try:
+            conf = {
+                "data": {
+                    # CPU-affordable sizes; the schema/convention path (name
+                    # parsing, intrinsics rescale, pad box) is what's under test
+                    "preprocessing": {"resize": 480, "side": "long",
+                                      "pad_to": [640, 480]},
+                },
+                "model": {
+                    "extractor": {"name": "sift", "max_num_keypoints": 1024},
+                    "matcher": {"name": "nearest_neighbor_matcher",
+                                "ratio_thresh": 0.9},
+                },
+                "eval": {"ransac_th": 1.0},
+            }
+            out = tmp_path / "md_run"
+            pipe = MegaDepth1500Pipeline(conf)
+            summaries, figures, results = pipe.run(Path(out))
+        finally:
+            ip_mod.DATA_PATH = old
+
+        assert (out / "predictions.h5").exists()
+        assert json.loads((out / "summaries.json").read_text())
+        # epipolar precision against the GT calibrated pose: correct matches
+        # on both planes must satisfy the epipolar constraint
+        assert summaries["mepi_prec@1e-3"] > 0.5, summaries
+        assert summaries["mnum_matches"] > 50, summaries
+        # pose AUC keys present; the two-plane scene is E-solvable, so the
+        # recovered pose should be within 20deg on at least one pair
+        assert "rel_pose_error@20°" in summaries, summaries
+        assert summaries["rel_pose_error@20°"] > 0.0, summaries
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-v", "-x"])
