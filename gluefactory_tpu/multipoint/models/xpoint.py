@@ -5,12 +5,14 @@ fork's MultiPoint variant with transformer backbones (SwinV2/SwinIR/SimpleViT;
 note the reference's `.Swinv2` import is broken, XPoint.py:9) and an optional
 homography-regression head.
 
-TPU re-design: a compact windowed-attention (Swin-style, shifted windows)
-encoder replaces the heavyweight pretrained backbones — zero-egress means no
-ImageNet weights anyway — producing 1/8-resolution features into the same
-shared detector/descriptor heads as MultiPoint. The optional homography
-head regresses the 4-point parameterization from concatenated pair features
-(reference HomographyNet).
+TPU re-design: the reference's backbone family is implemented for real in
+`.backbones` (SwinV2 with cosine attention + log-CPB, SwinIR RSTB groups,
+SCUNet conv+swin) — all producing 1/8-resolution features into the same
+shared detector/descriptor heads as MultiPoint; zero-egress means no
+ImageNet weights, so `Swinv2pretrained` collapses into the same SwinV2
+architecture. The optional homography head regresses the 4-point
+parameterization (pool = HomographyNet, srhen = correlation-volume head,
+ms2cahe = cross-attention head).
 """
 
 from __future__ import annotations
@@ -178,22 +180,19 @@ class _CBAMEncoder(nn.Module):
         return nn.Conv(self.dim, (3, 3), padding="SAME")(x)
 
 
-_BACKBONES = {
-    "swin": _SwinLiteEncoder,
-    "vit": _ViTEncoder,
-    "cbam": _CBAMEncoder,
-    # restoration-net backbones of the reference (SwinIR / SCUNet) map to the
-    # windowed-attention encoder: zero-egress, their pretrained weights are
-    # unavailable, and at 1/8 features the swin-lite is the closest native fit
-    "swinir": _SwinLiteEncoder,
-    "scunet": _SwinLiteEncoder,
-}
-
-
 class XPoint(MultiPoint):
     """MultiPoint with a configurable attention backbone (+ optional
-    homography regression head). `backbone`: swin | vit | cbam
-    (swinir/scunet alias to swin)."""
+    homography regression head). `backbone`:
+      swin    — hierarchical SwinV2 (cosine attention + log-CPB, the real
+                architecture of reference SwinTransformerV2.py)
+      swinir  — SwinIR RSTB groups (V1 learned-bias window attention,
+                reference SwinIR.py)
+      scunet  — SCUNet conv+swin UNet downsampling half (reference ScuNet.py)
+      vit     — SimpleViT global attention (reference SimpleViT.py)
+      cbam    — conv encoder with CBAM attention (reference cbam.py)
+      swin_lite — the compact round-1 windowed encoder (kept for configs
+                that trained against it)
+    """
 
     default_conf = {
         "name": "xpoint",
@@ -205,13 +204,37 @@ class XPoint(MultiPoint):
     }
 
     def _make_encoder(self):
+        from .backbones import SCUNetEncoder, SwinIREncoder, SwinV2Encoder
+
         conf = self.conf
-        cls = _BACKBONES[conf.backbone]
-        if cls is _SwinLiteEncoder:
-            return cls(conf.backbone_dim, conf.backbone_depth, conf.window)
-        if cls is _CBAMEncoder:
-            return cls(conf.backbone_dim)  # stage count fixed at 1/8 stride
-        return cls(conf.backbone_dim, conf.backbone_depth)
+        name = conf.backbone
+        dim, depth, window = conf.backbone_dim, conf.backbone_depth, conf.window
+        if name == "swin":
+            # stage1 runs at 2*stage0_dim: halve so the output is backbone_dim
+            d0 = max(dim // 2, 16)
+            per_stage = max(depth // 2, 1)
+            return SwinV2Encoder(
+                d0, depths=(per_stage, per_stage),
+                heads=(max(d0 // 32, 1), max(d0 // 16, 1)), window=window,
+            )
+        if name == "swinir":
+            groups = max(depth // 2, 1)
+            return SwinIREncoder(
+                dim, groups=groups, depth=2, heads=max(dim // 16, 1),
+                window=window,
+            )
+        if name == "scunet":
+            return SCUNetEncoder(
+                max(dim * 2 // 3, 32), out_dim=dim,
+                blocks_per_stage=max(depth // 2, 1), window=window,
+            )
+        if name == "swin_lite":
+            return _SwinLiteEncoder(dim, depth, window)
+        if name == "cbam":
+            return _CBAMEncoder(dim)  # stage count fixed at 1/8 stride
+        if name == "vit":
+            return _ViTEncoder(dim, depth)
+        raise ValueError(f"unknown XPoint backbone '{name}'")
 
     def setup(self):
         conf = self.conf
