@@ -75,7 +75,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "SP+LightGlue end-to-end matching throughput (480x640, 1024 kpts, batch 8)",
+                "metric": (
+                    "SP+LightGlue end-to-end matching throughput (480x640, "
+                    "1024 kpts, batch 8); vs_baseline is relative to an "
+                    "ESTIMATED 30 pairs/s for the reference on its RTX 3090 "
+                    "class hardware (no published throughput, BASELINE.md)"
+                ),
                 "value": round(pairs_per_s, 2),
                 "unit": "image pairs/s/chip",
                 "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),

@@ -306,7 +306,11 @@ class SuperPoint(BaseModel):
         )
         for i, c in enumerate(channels[:-1]):
             has_pool = i < len(channels) - 2
-            if use_s2d:
+            # s2d pays 16/9 FLOPs to raise output lanes 4x: a win only while
+            # cout < 128 (the MXU lane width). Measured at b8/480x640:
+            # block0 1.17x, block1 1.00x, 64->128 0.82x, 128->128 0.69x —
+            # so the 128-channel blocks run the plain conv path.
+            if use_s2d and c < 128:
                 xs = _space_to_depth(x)
                 xs = VGGBlock(c, dtype=dtype)(xs, is_training, s2d_mode="p0_to_p1")
                 xs = VGGBlock(c, dtype=dtype)(xs, is_training, s2d_mode="p1_to_p0")

@@ -8,6 +8,7 @@ JAX_PLATFORMS env var — so we must force CPU through jax.config here, before
 any backend is initialized."""
 
 import os
+from pathlib import Path
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -15,10 +16,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# silence XLA:CPU AOT-cache machine-feature chatter (harmless, very loud)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent XLA:CPU compilation cache: warm reruns of the suite skip most
+# compile time (~3x on compile-heavy tests); safe to delete anytime
+jax.config.update(
+    "jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache_cpu")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
