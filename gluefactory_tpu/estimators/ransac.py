@@ -243,6 +243,13 @@ class RelPoseResult(NamedTuple):
     success: jnp.ndarray
 
 
+def sample_weighted_indices(key, logw: jnp.ndarray, num_hypotheses: int, m: int):
+    """Weighted minimal-sample draw via Gumbel-top-k: each hypothesis picks m
+    indices with probability proportional to exp(logw) without replacement."""
+    g = jax.random.gumbel(key, (num_hypotheses, logw.shape[0]))
+    return jax.lax.top_k(logw[None] + g, m)[1]
+
+
 def ransac_relative_pose(
     p0n: jnp.ndarray,
     p1n: jnp.ndarray,
@@ -251,63 +258,91 @@ def ransac_relative_pose(
     th: float = 1e-3,
     num_hypotheses: int = 1024,
     refine_iters: int = 3,
+    guided_rounds: int = 1,
 ) -> RelPoseResult:
     """Batched RANSAC for the essential matrix on NORMALIZED image coords.
 
     th is in normalized units (pixel_th / mean_focal, like the reference
     opencv backend, robust_estimators/relative_pose/opencv.py:30-43).
     Single pair; vmap over pairs.
+
+    `guided_rounds`: after the uniform round, re-draw hypotheses with
+    sampling weighted by the current best model's soft-inlier weights
+    (inner/guided RANSAC). The 8-point minimal sample needs all-inlier draws
+    with probability inlier_rate^8 — hopeless beyond ~60% outliers at fixed
+    K — but even a mediocre first-round model's inlier set is strongly
+    enriched, so one guided round restores the high-outlier regime
+    (measured: 70%-outlier median pose error 25deg -> ~1deg, see
+    docs/ransac_comparison.md).
     """
     valid_f = valid.astype(jnp.float32)
-    idx = sample_minimal_indices(key, valid, num_hypotheses, 8)
-    Es = _eight_point(p0n[idx], p1n[idx])  # (K, 3, 3)
-    errs = sampson_distance(p0n[None], p1n[None], Es)  # (K, N)
     th2 = th * th
-    # hypothesis selection at a RELAXED threshold: minimal 8-point estimates
-    # are noisy, so a tight threshold locks onto models that overfit few
-    # points; graduated refinement below anneals back to th (LO-RANSAC with
-    # threshold annealing, cf. MAGSAC/GC-RANSAC practice). Refine the TOP-8
-    # candidates in parallel, not just the argmax: LO from a single seed
-    # occasionally converges to a local optimum (seed-variance robustness).
-    # multi-scale candidate selection: the relaxed score can rank
-    # contaminated models above good ones, the tight score is noise-brittle -
-    # take the top-4 at each of three scales (12 candidates, may overlap).
-    cand_parts = []
-    for mult in (1.0, 4.0, 16.0):
-        w = jnp.maximum(0.0, 1.0 - errs / (mult * th2)) * valid_f[None]
-        cand_parts.append(jax.lax.top_k(jnp.sum(w, axis=-1), 4)[1])
-    cand_idx = jnp.concatenate(cand_parts)
     n_cand = 12
-    E_cand = Es[cand_idx]  # (C, 3, 3)
-
     # annealed threshold multipliers: coarse-to-fine, then polish at 1x
     multipliers = [16.0, 8.0, 4.0, 2.0] + [1.0] * max(refine_iters, 2)
 
-    def refine(E, mult):
-        # E: (C, 3, 3); all candidates refined in one batched solve
-        t2 = th2 * mult
-        err = sampson_distance(p0n[None], p1n[None], E)  # (C, N)
-        w = jnp.maximum(0.0, 1.0 - err / t2) * valid_f[None]
-        E_new = _eight_point(
-            jnp.broadcast_to(p0n[None], (n_cand,) + p0n.shape),
-            jnp.broadcast_to(p1n[None], (n_cand,) + p1n.shape),
-            w,
+    def candidates_from(idx):
+        """Minimal solves + multi-scale candidate selection + annealed LO.
+
+        Hypothesis selection happens at RELAXED thresholds: minimal 8-point
+        estimates are noisy, so a tight threshold locks onto models that
+        overfit few points; the top-4 at each of three scales are refined in
+        parallel (LO from a single seed occasionally converges to a local
+        optimum — seed-variance robustness)."""
+        Es = _eight_point(p0n[idx], p1n[idx])  # (K, 3, 3)
+        errs = sampson_distance(p0n[None], p1n[None], Es)  # (K, N)
+        cand_parts = []
+        for mult in (1.0, 4.0, 16.0):
+            w = jnp.maximum(0.0, 1.0 - errs / (mult * th2)) * valid_f[None]
+            cand_parts.append(jax.lax.top_k(jnp.sum(w, axis=-1), 4)[1])
+        E_cand = Es[jnp.concatenate(cand_parts)]  # (C, 3, 3)
+
+        def refine(E, mult):
+            # E: (C, 3, 3); all candidates refined in one batched solve
+            t2 = th2 * mult
+            err = sampson_distance(p0n[None], p1n[None], E)  # (C, N)
+            w = jnp.maximum(0.0, 1.0 - err / t2) * valid_f[None]
+            E_new = _eight_point(
+                jnp.broadcast_to(p0n[None], (n_cand,) + p0n.shape),
+                jnp.broadcast_to(p1n[None], (n_cand,) + p1n.shape),
+                w,
+            )
+            old = jnp.sum(w, axis=-1)
+            new_err = sampson_distance(p0n[None], p1n[None], E_new)
+            new = jnp.sum(
+                jnp.maximum(0.0, 1.0 - new_err / t2) * valid_f[None], axis=-1
+            )
+            ok = (new >= old) & jnp.all(jnp.isfinite(E_new), axis=(-1, -2))
+            return jnp.where(ok[:, None, None], E_new, E), None
+
+        E_cand, _ = jax.lax.scan(refine, E_cand, jnp.asarray(multipliers))
+        return E_cand
+
+    key, k0 = jax.random.split(key)
+    idx = sample_minimal_indices(k0, valid, num_hypotheses, 8)
+    E_all = candidates_from(idx)
+
+    for _ in range(guided_rounds):
+        errs_all = sampson_distance(p0n[None], p1n[None], E_all)
+        scores_all = jnp.sum(
+            jnp.maximum(0.0, 1.0 - errs_all / th2) * valid_f[None], axis=-1
         )
-        old = jnp.sum(w, axis=-1)
-        new_err = sampson_distance(p0n[None], p1n[None], E_new)
-        new = jnp.sum(jnp.maximum(0.0, 1.0 - new_err / t2) * valid_f[None], axis=-1)
-        ok = (new >= old) & jnp.all(jnp.isfinite(E_new), axis=(-1, -2))
-        E = jnp.where(ok[:, None, None], E_new, E)
-        return E, None
+        err_best = errs_all[jnp.argmax(scores_all)]
+        # soft inlier log-weights at a relaxed threshold; floor keeps the
+        # distribution proper when the first round found nothing
+        w_guide = jnp.maximum(0.0, 1.0 - err_best / (4.0 * th2)) * valid_f
+        logw = jnp.log(w_guide + 1e-4) + jnp.where(valid, 0.0, -1e9)
+        key, kg = jax.random.split(key)
+        idx_g = sample_weighted_indices(kg, logw, num_hypotheses, 8)
+        E_all = jnp.concatenate([E_all, candidates_from(idx_g)], axis=0)
 
-    E_cand, _ = jax.lax.scan(refine, E_cand, jnp.asarray(multipliers))
-
-    # final selection at the true threshold
-    final_errs = sampson_distance(p0n[None], p1n[None], E_cand)  # (C, N)
+    # final selection at the true threshold over every refined candidate
+    final_errs = sampson_distance(p0n[None], p1n[None], E_all)
     final_scores = jnp.sum(
         jnp.maximum(0.0, 1.0 - final_errs / th2) * valid_f[None], axis=-1
     )
     best = jnp.argmax(final_scores)
+    E_cand = E_all
     E = E_cand[best]
     err = final_errs[best]
     inliers = (err < th2) & valid
@@ -325,7 +360,8 @@ ransac_homography_jit = jax.jit(
     ransac_homography, static_argnames=("num_hypotheses", "refine_iters")
 )
 ransac_relative_pose_jit = jax.jit(
-    ransac_relative_pose, static_argnames=("num_hypotheses", "refine_iters")
+    ransac_relative_pose,
+    static_argnames=("num_hypotheses", "refine_iters", "guided_rounds")
 )
 
 

@@ -22,7 +22,8 @@ class JaxRansacRelativePose(BaseEstimator):
     default_conf = {
         "name": "jax_ransac",
         "ransac_th": 2.0,
-        "options": {"num_hypotheses": 8192, "refine_iters": 4, "seed": 0},
+        "options": {"num_hypotheses": 8192, "refine_iters": 4, "seed": 0,
+                    "guided_rounds": 1},
     }
     required_data_keys = ["m_kpts0", "m_kpts1", "camera0", "camera1"]
 
@@ -52,6 +53,7 @@ class JaxRansacRelativePose(BaseEstimator):
             th=th_norm,
             num_hypotheses=int(self.conf.options.num_hypotheses),
             refine_iters=int(self.conf.options.refine_iters),
+            guided_rounds=int(self.conf.options.get("guided_rounds", 1)),
         )
         t = result.t / jnp.maximum(jnp.linalg.norm(result.t), 1e-9)
         return {

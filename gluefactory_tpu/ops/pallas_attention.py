@@ -324,13 +324,10 @@ def _attention_kernel_packed(
     colbias = (mask_k.astype(jnp.float32) - 1.0) * 1e9  # (N,)
     rowscale = mask_q.astype(jnp.float32)[:, None]
 
-    # On the bf16 (mp) path the attention weights are computed by a bf16 exp
-    # emitted directly in bf16: kills BOTH the f32 transcendental (bf16 exp
-    # retires 2/cycle) and the separate f32->bf16 cast pass before the AV
-    # dot. max/denominator statistics stay f32 (denom accumulates in f32 over
-    # bf16 lanes). Weight quantization error ~4e-3 relative on unit-sum rows,
-    # well inside the bf16 activations' own noise floor.
-    bf16_softmax = v_ref.dtype == jnp.bfloat16
+    # NOTE (measured, r2): a bf16-exp-emitting-bf16 variant was tried here to
+    # kill the cast before the AV dot — ablation says it's NEUTRAL-to-worse
+    # (7.32 vs 7.17 ms / 27 calls): Mosaic's f32 exp + cast cost only ~0.3 ms
+    # at these shapes; the dots dominate. Keeping the f32 softmax.
 
     # scale folds into q in the I/O dtype (for LightGlue's head_dim 64 the
     # 0.125 scale is a power of two — exact even in bf16)
@@ -344,12 +341,8 @@ def _attention_kernel_packed(
         )
         sim = sim + colbias[None, :]
         rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), -1e4)
-        if bf16_softmax:
-            e = jnp.exp((sim - rowmax).astype(jnp.bfloat16))
-            denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
-        else:
-            e = jnp.exp(sim - rowmax)
-            denom = jnp.sum(e, axis=-1, keepdims=True)
+        e = jnp.exp(sim - rowmax)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
             e.astype(v.dtype), v,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -629,15 +622,10 @@ def _bidir_cross_kernel_packed(
         ) * scale
         sim = sim + bias
 
-        # direction 0<-1: full row softmax (bf16 weights on the mp path —
-        # see _attention_kernel_packed for the numerics note)
+        # direction 0<-1: full row softmax
         rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), -1e4)
-        if v1.dtype == jnp.bfloat16:
-            e_row = jnp.exp((sim - rowmax).astype(jnp.bfloat16))
-            denom_row = jnp.sum(e_row, axis=-1, keepdims=True, dtype=jnp.float32)
-        else:
-            e_row = jnp.exp(sim - rowmax)
-            denom_row = jnp.sum(e_row, axis=-1, keepdims=True)
+        e_row = jnp.exp(sim - rowmax)
+        denom_row = jnp.sum(e_row, axis=-1, keepdims=True)
         m0 = jax.lax.dot_general(
             e_row.astype(v1.dtype), v1, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -656,17 +644,12 @@ def _bidir_cross_kernel_packed(
         old_m = colmax_ref[h, :]
         new_m = jnp.maximum(jnp.maximum(old_m, block_colmax), -1e4)
         factor = jnp.exp(old_m - new_m)
-        if v0b.dtype == jnp.bfloat16:
-            e_col = jnp.exp((sim - new_m[None, :]).astype(jnp.bfloat16))
-            col_sum = jnp.sum(e_col, axis=0, dtype=jnp.float32)
-        else:
-            e_col = jnp.exp(sim - new_m[None, :])
-            col_sum = jnp.sum(e_col, axis=0)
+        e_col = jnp.exp(sim - new_m[None, :])
         colacc_ref[:, sl] = colacc_ref[:, sl] * factor[:, None] + jax.lax.dot_general(
             e_col.astype(v0b.dtype), v0b, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        coldenom_ref[h, :] = coldenom_ref[h, :] * factor + col_sum
+        coldenom_ref[h, :] = coldenom_ref[h, :] * factor + jnp.sum(e_col, axis=0)
         colmax_ref[h, :] = new_m
 
         @pl.when(i == n_steps - 1)

@@ -66,11 +66,15 @@ def kernel(q_ref, k_ref, v_ref, o_ref, *, variant):
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if variant == "dot1":
-            # consume ALL of sim (folded N/dh column groups) so the compiler
-            # cannot dead-code-eliminate part of the QK^T dot (ADVICE r1)
-            o_ref[0, :, h * dh:(h + 1) * dh] = (
-                sim.reshape(BQ, N // dh, dh).sum(1).astype(o_ref.dtype)
+            # consume ALL of sim via a reduction matmul (Mosaic rejects the
+            # (BQ,N)->(BQ,N/dh,dh) reshape) so the compiler cannot
+            # dead-code-eliminate part of the QK^T dot (ADVICE r1)
+            ones = jnp.ones((N, dh), sim.dtype)
+            red = jax.lax.dot_general(
+                sim, ones, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
+            o_ref[0, :, h * dh:(h + 1) * dh] = red.astype(o_ref.dtype)
             continue
         sim = sim + colbias[None, :]
         if variant == "nosoftmax":

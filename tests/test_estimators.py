@@ -217,3 +217,93 @@ class TestEstimatorAliases:
         )
         assert load_estimator("relative_pose", "poselib") is JaxRansacRelativePose
         assert load_estimator("relative_pose", "pycolmap") is JaxRansacRelativePose
+
+
+class TestRansacOutlierSweep:
+    """VERDICT r1 #8: pin jax_ransac's accuracy across outlier rates to the
+    levels recorded in docs/ransac_comparison.md (medians over seeds; the
+    guided second round carries the >=60% regimes)."""
+
+    def _h_problem(self, rng, n=512, outlier_rate=0.3, noise=1.0, size=(640, 480)):
+        w, h = size
+        H = np.eye(3) + rng.randn(3, 3) * np.array(
+            [[0.1, 0.05, 20.0], [0.05, 0.1, 20.0], [2e-4, 2e-4, 0.0]]
+        )
+        p0 = rng.uniform([40, 40], [w - 40, h - 40], (n, 2))
+        p1h = np.c_[p0, np.ones(n)] @ H.T
+        p1 = p1h[:, :2] / p1h[:, 2:]
+        p1 += rng.randn(n, 2) * noise
+        n_out = int(n * outlier_rate)
+        idx = rng.permutation(n)[:n_out]
+        p1[idx] = rng.uniform([0, 0], [w, h], (n_out, 2))
+        return p0.astype(np.float32), p1.astype(np.float32), H
+
+    def _corner_error(self, H_est, H_gt, size=(640, 480)):
+        w, h = size
+        c = np.array([[0, 0, 1], [w, 0, 1], [w, h, 1], [0, h, 1]], float)
+        pe = c @ np.asarray(H_est, float).T
+        pg = c @ H_gt.T
+        pe = pe[:, :2] / pe[:, 2:]
+        pg = pg[:, :2] / pg[:, 2:]
+        return float(np.mean(np.linalg.norm(pe - pg, axis=-1)))
+
+    @pytest.mark.parametrize("rate,max_med_px", [(0.0, 0.6), (0.4, 0.8), (0.7, 1.6)])
+    def test_homography_accuracy_vs_outlier_rate(self, rate, max_med_px):
+        est = load_estimator("homography", "jax_ransac")({"ransac_th": 3.0})
+        errs = []
+        for tr in range(5):
+            rng = np.random.RandomState(1000 + tr)
+            p0, p1, H = self._h_problem(rng, outlier_rate=rate)
+            out = est({"m_kpts0": p0, "m_kpts1": p1})
+            errs.append(self._corner_error(np.asarray(out["M_0to1"]), H))
+        assert np.median(errs) < max_med_px, (rate, errs)
+
+    def test_relpose_guided_round_recovers_high_outliers(self):
+        """At 70% outliers the uniform 8-point round alone is hopeless
+        (inlier_rate^8); the guided round must bring the median pose error
+        under 3 deg (measured ~1.5; OpenCV ~4.7)."""
+        from gluefactory_tpu.geometry.wrappers import Camera
+
+        w, h, f = 640, 480, 600.0
+        K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]])
+        est = load_estimator("relative_pose", "jax_ransac")(
+            {"ransac_th": 2.0, "options": {"guided_rounds": 1}}
+        )
+        errs = []
+        for tr in range(4):
+            rng = np.random.RandomState(2000 + tr)
+            ang = rng.uniform(-0.15, 0.15, 3)
+            Rx = lambda a: np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]])
+            Ry = lambda a: np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]])
+            R = Rx(ang[0]) @ Ry(ang[1])
+            t = rng.randn(3)
+            t /= np.linalg.norm(t)
+            n = 512
+            X = np.c_[rng.uniform(-3, 3, (n, 2)), rng.uniform(4, 12, n)]
+            p0 = (K @ X.T).T
+            p0 = p0[:, :2] / p0[:, 2:]
+            X1 = (R @ X.T).T + t
+            p1 = (K @ X1.T).T
+            p1 = p1[:, :2] / p1[:, 2:]
+            p0 += rng.randn(n, 2)
+            p1 += rng.randn(n, 2)
+            n_out = int(n * 0.7)
+            idx = rng.permutation(n)[:n_out]
+            p1[idx] = rng.uniform([0, 0], [w, h], (n_out, 2))
+            cam = Camera.from_calibration_matrix(K.astype(np.float32))
+            out = est(
+                {
+                    "m_kpts0": p0.astype(np.float32),
+                    "m_kpts1": p1.astype(np.float32),
+                    "camera0": cam,
+                    "camera1": cam,
+                }
+            )
+            M = out["M_0to1"]
+            R_e, t_e = np.asarray(M.R, float), np.asarray(M.t, float).reshape(3)
+            cosr = (np.trace(R_e.T @ R) - 1) / 2
+            r_err = np.degrees(np.arccos(np.clip(cosr, -1, 1)))
+            cost = abs(t_e @ t) / (np.linalg.norm(t_e) * np.linalg.norm(t) + 1e-12)
+            t_err = np.degrees(np.arccos(np.clip(cost, 0, 1)))
+            errs.append(max(r_err, t_err))
+        assert np.median(errs) < 3.0, errs
