@@ -274,6 +274,10 @@ class SuperPoint(BaseModel):
         "dtype": "bfloat16",  # conv compute dtype; heads renormalize in fp32
         "approx_topk": True,  # lax.approx_max_k for keypoint selection on TPU
         "s2d": True,  # space-to-depth trunk at inference (1.5-1.65x conv speed)
+        # block0 as ONE Pallas megakernel (conv1a K=16 matmul + conv1b 4x
+        # K=256 matmuls + BN/relu/mask/pool in VMEM, ops/pallas_conv.py):
+        # "auto" = on TPU at inference; True forces (interpret off-TPU)
+        "fused_block0": "auto",
     }
     required_data_keys = ["image"]
 
@@ -304,8 +308,51 @@ class SuperPoint(BaseModel):
             and h_in % 16 == 0
             and w_in % 16 == 0
         )
+        fused_conf = conf.get("fused_block0", "auto")
+        use_fused0 = (
+            use_s2d
+            and (fused_conf is True or (fused_conf == "auto" and jax.default_backend() == "tpu"))
+        )
         for i, c in enumerate(channels[:-1]):
             has_pool = i < len(channels) - 2
+            if (
+                i == 0 and use_fused0 and c == 64 and x.shape[-1] == 1
+                and has_pool and (h_in // 2) % 16 == 0
+            ):
+                # fused block0 megakernel: declare the SAME param tree by
+                # instantiating the two VGGBlocks with dummy calls (their
+                # compute is dead-code-eliminated), then hand the raw
+                # kernels/biases/folded-BN to the Pallas kernel.
+                blk_a = VGGBlock(c, dtype=dtype)
+                blk_b = VGGBlock(c, dtype=dtype)
+                _ = blk_a(jnp.zeros((1, 4, 4, 1), x.dtype), False)
+                _ = blk_b(jnp.zeros((1, 4, 4, c), x.dtype), False)
+                pvars = self.variables["params"]
+                svars = self.variables.get("batch_stats", {})
+
+                def raw(name):
+                    p = pvars[name]
+                    s = svars.get(name, {}).get(
+                        "BatchNorm_0",
+                        {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))},
+                    )
+                    scale = p["BatchNorm_0"]["scale"]
+                    bias = p["BatchNorm_0"]["bias"]
+                    mul = scale * jax.lax.rsqrt(s["var"] + 1e-3)
+                    add = bias - s["mean"] * mul
+                    return p["Conv_0"]["kernel"], p["Conv_0"]["bias"], mul, add
+
+                k1, cb1, mul1, add1 = raw(blk_a.name)
+                k2, cb2, mul2, add2 = raw(blk_b.name)
+                from ...ops.pallas_conv import block0_fused
+
+                x = block0_fused(
+                    x, k1, cb1, mul1, add1, k2, cb2, mul2, add2,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                if dtype is None:
+                    x = x.astype(jnp.float32)
+                continue
             # s2d pays 16/9 FLOPs to raise output lanes 4x: a win only while
             # cout < 128 (the MXU lane width). Measured at b8/480x640:
             # block0 1.17x, block1 1.00x, 64->128 0.82x, 128->128 0.69x —

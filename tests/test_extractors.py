@@ -345,3 +345,50 @@ class TestSIFTTPU:
             if np.hypot(*(kp1[j] - tgt[i])) < 3.0:
                 ok += 1
         assert ok / sel.sum() > 0.6, (ok, int(sel.sum()))
+
+
+class TestFusedBlock0:
+    def test_fused_matches_s2d_path(self, rng):
+        """SuperPoint with the block0 Pallas megakernel (interpret mode on
+        CPU) must match the XLA s2d path with the same params."""
+        from gluefactory_tpu.models import get_model
+
+        img = {"image": jnp.asarray(rng.rand(2, 64, 96, 1), jnp.float32)}
+        sp_ref = get_model("superpoint_open").from_conf(
+            {"max_num_keypoints": 64, "detection_threshold": 0.0,
+             "s2d": True, "fused_block0": False}
+        )
+        sp_fused = get_model("superpoint_open").from_conf(
+            {"max_num_keypoints": 64, "detection_threshold": 0.0,
+             "s2d": True, "fused_block0": True}
+        )
+        v = sp_ref.init(jax.random.PRNGKey(0), img)
+        v2 = sp_fused.init(jax.random.PRNGKey(0), img)
+        # identical param trees (the fused path declares the same modules)
+        t1 = jax.tree.map(lambda a: a.shape, v["params"])
+        t2 = jax.tree.map(lambda a: a.shape, v2["params"])
+        assert t1 == t2
+
+        # compare CONTINUOUS outputs (top-k keypoint identity is rank-noise
+        # on a random-init model where bf16 reorders near-equal scores):
+        # dense descriptors after the full trunk must be near-identical.
+        sp_ref_d = get_model("superpoint_open").from_conf(
+            {"max_num_keypoints": 64, "detection_threshold": 0.0,
+             "s2d": True, "fused_block0": False, "dense_outputs": True}
+        )
+        sp_fused_d = get_model("superpoint_open").from_conf(
+            {"max_num_keypoints": 64, "detection_threshold": 0.0,
+             "s2d": True, "fused_block0": True, "dense_outputs": True}
+        )
+        d_ref = np.asarray(
+            sp_ref_d.apply(v, img)["dense_descriptors"], np.float32
+        )
+        d_fused = np.asarray(
+            sp_fused_d.apply(v, img)["dense_descriptors"], np.float32
+        )
+        cos = (d_ref * d_fused).sum(-1) / (
+            np.linalg.norm(d_ref, axis=-1) * np.linalg.norm(d_fused, axis=-1)
+            + 1e-9
+        )
+        assert np.median(cos) > 0.999, np.median(cos)
+        assert cos.min() > 0.98, cos.min()

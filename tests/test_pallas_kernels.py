@@ -409,3 +409,57 @@ class TestFusedAssignment:
         np.testing.assert_array_equal(np.asarray(km1), np.asarray(rm1))
         np.testing.assert_allclose(np.asarray(ks0), np.asarray(rs0), atol=1e-5)
         np.testing.assert_allclose(np.asarray(ks1), np.asarray(rs1), atol=1e-5)
+
+
+class TestBlock0Fused:
+    def test_matches_xla_s2d_path(self, rng):
+        """block0_fused == s2d conv pair + relu/BN + mask + group-max pool
+        (the production XLA path in superpoint_open)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gluefactory_tpu.models.extractors.superpoint_open import (
+            _mask_p1,
+            _space_to_depth,
+            s2d_conv,
+        )
+        from gluefactory_tpu.ops.pallas_conv import block0_fused
+
+        B, H, W = 2, 64, 96
+        img = jnp.asarray(rng.rand(B, H, W, 1), jnp.float32)
+        w1 = jnp.asarray(rng.randn(3, 3, 1, 64) * 0.3, jnp.float32)
+        w2 = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.05, jnp.float32)
+        b1 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+        b2 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+        mul1 = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
+        add1 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+        mul2 = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
+        add2 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+
+        # reference: the model's s2d path in bf16 (same compute dtype)
+        dt = jnp.bfloat16
+        xs = _space_to_depth(img.astype(dt))
+        y = s2d_conv(xs, w1, b1, "p0_to_p1", dtype=dt)
+        y = jax.nn.relu(y)
+        y = y * jnp.tile(mul1, 4).astype(dt) + jnp.tile(add1, 4).astype(dt)
+        y = _mask_p1(y)
+        y = jax.lax.conv_general_dilated(
+            y, jnp.asarray(
+                __import__("gluefactory_tpu.models.extractors.superpoint_open",
+                           fromlist=["_s2d_kernel"])._s2d_kernel(w2), dt
+            ),
+            (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.tile(b2, 4).astype(dt)
+        y = jax.nn.relu(y)
+        y = y * jnp.tile(mul2, 4).astype(dt) + jnp.tile(add2, 4).astype(dt)
+        bb, hh, ww, _ = y.shape
+        ref = y.reshape(bb, hh, ww, 2, 2, 64).max(axis=(3, 4))
+
+        out = block0_fused(
+            img, w1, b1, mul1, add1, w2, b2, mul2, add2, interpret=True
+        )
+        assert out.shape == (B, H // 2, W // 2, 64)
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
