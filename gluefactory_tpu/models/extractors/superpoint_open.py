@@ -275,9 +275,12 @@ class SuperPoint(BaseModel):
         "approx_topk": True,  # lax.approx_max_k for keypoint selection on TPU
         "s2d": True,  # space-to-depth trunk at inference (1.5-1.65x conv speed)
         # block0 as ONE Pallas megakernel (conv1a K=16 matmul + conv1b 4x
-        # K=256 matmuls + BN/relu/mask/pool in VMEM, ops/pallas_conv.py):
-        # "auto" = on TPU at inference; True forces (interpret off-TPU)
-        "fused_block0": "auto",
+        # K=256 matmuls + BN/relu/mask/pool in VMEM, ops/pallas_conv.py).
+        # MEASURED SLOWER than the XLA s2d path in the full model (10.6 vs
+        # 9.5 ms/view-batch: the lax.map chunking the compile helper forces
+        # serializes what XLA otherwise overlaps) — default off; kept as
+        # validated infrastructure. True enables (interpret off-TPU).
+        "fused_block0": False,
     }
     required_data_keys = ["image"]
 
