@@ -36,7 +36,7 @@ from ..utils.experiments import (
     save_experiment,
 )
 from ..utils.summary import ExperimentWriter
-from ..utils.tools import AverageMetric, MedianMetric, set_seed
+from ..utils.tools import AverageMetric, MedianMetric, PRMetric, set_seed
 from .step import TrainState, make_optimizer, make_train_step
 
 default_train_conf = {
@@ -58,6 +58,10 @@ default_train_conf = {
     "best_key": "loss/total",
     "overfit": False,
     "median_metrics": [],
+    # validation PR curve over predicted matches (labels: match agrees with
+    # gt_matches0; scores: matching_scores0) — figure + AP into the writer
+    # (reference train.py:541-579 add_pr_curve path)
+    "pr_curves": False,
     # profiling (counterpart of reference --profile, train.py:362-369):
     # trace iterations [profile_start, profile_end) with jax.profiler into
     # <output_dir>/profile (view with xprof/tensorboard)
@@ -204,6 +208,7 @@ class Trainer:
         conf = self.conf.train
         aggs = defaultdict(AverageMetric)
         medians = {k: MedianMetric() for k in conf.median_metrics}
+        pr = PRMetric() if conf.get("pr_curves") else None
         loader = self.dataset.get_data_loader("val", epoch=epoch)
         count = 0
         for batch in loader:
@@ -213,6 +218,22 @@ class Trainer:
             if count == 0 and conf.plot and self.writer is not None:
                 self._plot_batch(batch, it)
             losses, metrics = self.eval_fn(self.state, batch)
+            if pr is not None:
+                p = self.pred_fn(self.state, batch)
+                gt0 = batch.get("gt_matches0")
+                if gt0 is None and "H_0to1" in batch and "keypoints0" in p:
+                    from ..geometry.gt_generation import gt_matches_from_homography
+
+                    gt0 = gt_matches_from_homography(
+                        p["keypoints0"], p["keypoints1"], batch["H_0to1"],
+                        pos_th=3.0,
+                    )["matches0"]
+                if gt0 is not None:
+                    m0 = np.asarray(p["matches0"])
+                    pr.update(
+                        m0 == np.asarray(gt0),
+                        np.asarray(p["matching_scores0"]), mask=m0 >= 0,
+                    )
             for k, v in {**losses, **metrics}.items():
                 arr = np.asarray(v).reshape(-1)
                 aggs[f"loss/{k}" if k in losses else k].update(arr)
@@ -221,6 +242,28 @@ class Trainer:
             count += 1
         results = {k: m.compute() for k, m in aggs.items()}
         results.update({f"{k}_median": m.compute() for k, m in medians.items()})
+        if pr is not None:
+            labels, scores = pr.compute()
+            if len(labels) > 0:
+                order = np.argsort(-scores)
+                tp = np.cumsum(labels[order])
+                precision = tp / (np.arange(len(tp)) + 1)
+                recall = tp / max(labels.sum(), 1)
+                results["match_AP"] = float(
+                    np.sum(precision * labels[order]) / max(labels.sum(), 1)
+                )
+                if self.writer is not None:
+                    import matplotlib
+
+                    matplotlib.use("Agg")
+                    import matplotlib.pyplot as plt
+
+                    fig, ax = plt.subplots(figsize=(4, 4))
+                    ax.plot(recall, precision)
+                    ax.set_xlabel("recall")
+                    ax.set_ylabel("precision")
+                    ax.set_title(f"match PR (AP={results['match_AP']:.3f})")
+                    self.writer.figure(it, "val/match_pr", fig)
         logger.info(
             "[Validation epoch %d iter %d] %s",
             epoch, it,

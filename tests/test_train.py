@@ -48,10 +48,11 @@ def tiny_conf(tmpdir):
         },
         "train": {
             "epochs": 1,
-            "eval_every_iter": -1,
             "save_every_iter": -1,
             "log_every_iter": 1,
             "log_grad_every_iter": 1,
+            "pr_curves": True,
+            "eval_every_iter": -1,
             "lr": 1e-4,
             "plot": [1, "gluefactory_tpu.visualization.visualize_batch.make_match_figures"],
         },
@@ -179,6 +180,10 @@ class TestTrainerEndToEnd:
         assert any("train/grad/norm" in line for line in events)
         assert any("train/grad/norm/matcher" in line for line in events)
         assert any("train/grad/module_norms__hist" in line for line in events)
+        # validation PR curve (reference add_pr_curve path): AP scalar in
+        # events + the PR figure on disk
+        assert any("val/match_AP" in line for line in events)
+        assert list((exp_dir / "figures").glob("val_match_pr_*.png"))
         assert list((exp_dir / "figures").glob("matching_*.png"))
 
         # checkpoint written at end of epoch; restore and verify params equal
