@@ -1,6 +1,7 @@
 """Headline benchmark: SuperPoint + LightGlue matching throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (plus
+"extra" with MFU and the adaptive-inference variant).
 
 Config mirrors the reference's HPatches setting (SURVEY §6): 480x640 images,
 1024 keypoints, LightGlue 9 layers x 256 dims. The reference publishes no
@@ -26,6 +27,42 @@ BATCH = 8
 H, W = 480, 640
 NUM_KPTS = 1024
 
+# v5e bf16 peak (dense MXU) for the MFU denominator
+PEAK_TFLOPS = 197.0
+
+
+def analytic_flops_per_pair():
+    """Useful (algorithmic) FLOPs for one image pair at the bench config:
+    2x SuperPoint VGG trunk+heads + 9-layer LightGlue. Counts the direct
+    3x3/1x1 conv FLOPs (not the 16/9 s2d embedding overhead), attention
+    QK/AV dots, projections and FFNs; ignores elementwise/softmax."""
+    h, w = H, W
+    conv = 0.0
+    # trunk: (cin, cout, h, w) per conv, 2 convs per block, pools halve
+    blocks = [(1, 64, h, w), (64, 64, h, w),
+              (64, 64, h // 2, w // 2), (64, 64, h // 2, w // 2),
+              (64, 128, h // 4, w // 4), (128, 128, h // 4, w // 4),
+              (128, 128, h // 8, w // 8), (128, 128, h // 8, w // 8)]
+    for cin, cout, hh, ww in blocks:
+        conv += 2 * 9 * cin * cout * hh * ww
+    # heads at h/8: desc 3x3 128->256 + 1x1 256->256; det 3x3 128->256 + 1x1 256->65
+    hh, ww = h // 8, w // 8
+    conv += 2 * hh * ww * (9 * 128 * 256 + 256 * 256 + 9 * 128 * 256 + 256 * 65)
+    sp = conv  # per view
+
+    n, d, L = NUM_KPTS, 256, 9
+    per_layer = (
+        2 * n * d * 3 * d * 2      # self QKV, both views
+        + 2 * n * d * d * 2        # self out
+        + 2 * (2 * d * 2 * d + 2 * d * d) * n * 2  # 2 FFNs (self+cross), both views
+        + 2 * n * d * d * 2 * 2    # cross qk + v projections, both views
+        + 2 * n * d * d * 2        # cross out
+        + 2 * 2 * n * n * d * 2 * 2  # self QK+AV (both views) at full D
+        + 2 * 2 * n * n * d          # bidirectional cross (one sim, two AVs)
+    )
+    lg = L * per_layer + 2 * n * d * d + 2 * n * n * d  # assignment proj + sim
+    return 2 * sp + lg
+
 
 def main():
     import jax
@@ -34,12 +71,19 @@ def main():
     from gluefactory_tpu.models import get_model
 
     rng = np.random.RandomState(0)
-    pipe = get_model("two_view_pipeline").from_conf(
-        {
-            "extractor": {"name": "superpoint_open", "max_num_keypoints": NUM_KPTS},
-            "matcher": {"name": "lightglue", "filter_threshold": 0.1, "mp": True},
-        }
-    )
+
+    def make_pipe(**matcher_extra):
+        return get_model("two_view_pipeline").from_conf(
+            {
+                "extractor": {"name": "superpoint_open", "max_num_keypoints": NUM_KPTS},
+                "matcher": {
+                    "name": "lightglue", "filter_threshold": 0.1, "mp": True,
+                    "collect_layers": False, **matcher_extra,
+                },
+            }
+        )
+
+    pipe = make_pipe()
     data = {
         "view0": {
             "image": jnp.asarray(rng.rand(BATCH, H, W, 1), jnp.float32),
@@ -56,22 +100,32 @@ def main():
     # without waiting, so we time with a forced scalar fetch. A single fetch
     # after N dispatches is enough: device execution is in-order, so the last
     # result transfers only after all N executions completed.
-    def fwd_scalar(v, d):
-        out = pipe.apply(v, d)
-        return out["matching_scores0"].sum() + out["keypoints0"].sum()
+    def run(pipe_obj, v, d, n_iters=20):
+        def fwd_scalar(v, d):
+            out = pipe_obj.apply(v, d)
+            return out["matching_scores0"].sum() + out["keypoints0"].sum()
 
-    fwd = jax.jit(fwd_scalar)
-    float(fwd(variables, data))  # warmup / compile
-    float(fwd(variables, data))  # settle caches
+        fwd = jax.jit(fwd_scalar)
+        float(fwd(v, d))  # warmup / compile
+        float(fwd(v, d))  # settle caches
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            out = fwd(v, d)
+        float(out)  # forces completion of the whole in-order queue
+        dt = time.perf_counter() - t0
+        return BATCH * n_iters / dt
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = fwd(variables, data)
-    float(out)  # forces completion of the whole in-order queue
-    dt = time.perf_counter() - t0
+    pairs_per_s = run(pipe, variables, data)
 
-    pairs_per_s = BATCH * n_iters / dt
+    # adaptive-inference variant (depth_confidence as the reference ships it,
+    # lightglue.py:346): same weights; random-init confidence heads exit
+    # early on these synthetic images, which is the point of the measurement
+    # — the adaptive path's *overhead/benefit* envelope on real hardware.
+    pipe_ad = make_pipe(depth_confidence=0.95, width_confidence=0.99)
+    pairs_per_s_ad = run(pipe_ad, variables, data)
+
+    mfu = (analytic_flops_per_pair() * pairs_per_s) / (PEAK_TFLOPS * 1e12)
+
     print(
         json.dumps(
             {
@@ -84,6 +138,10 @@ def main():
                 "value": round(pairs_per_s, 2),
                 "unit": "image pairs/s/chip",
                 "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+                "extra": {
+                    "mfu_analytic": round(mfu, 4),
+                    "adaptive_pairs_per_s": round(pairs_per_s_ad, 2),
+                },
             }
         )
     )

@@ -28,19 +28,42 @@ from flax import linen as nn
 from ..base_model import BaseModel
 
 
+def _shifted(a: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
+    """a shifted left by k along axis, -inf filled (same shape)."""
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, k)
+    ap = jnp.pad(a, pad, constant_values=-jnp.inf)
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(k, k + a.shape[axis])
+    return ap[tuple(idx)]
+
+
+def _axis_max(a: jnp.ndarray, radius: int, axis: int) -> jnp.ndarray:
+    """Centered (2r+1) running max along axis via a log-tree of shifted
+    maxes (pad + static slices): ~4 elementwise maxes for r=4 instead of a
+    9-tap reduce_window, which lowers poorly on TPU."""
+    length = 2 * radius + 1
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (radius, radius)
+    g = jnp.pad(a, pad, constant_values=-jnp.inf)
+    total = 1
+    while total * 2 <= length:
+        g = jnp.maximum(g, _shifted(g, total, axis))
+        total *= 2
+    if total < length:
+        g = jnp.maximum(g, _shifted(g, length - total, axis))
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(0, a.shape[axis])
+    return g[tuple(idx)]
+
+
 def simple_nms(scores: jnp.ndarray, radius: int, iterations: int = 2) -> jnp.ndarray:
     """Fast NMS: keep local maxima of a (B, H, W) score map (reference
     batched_nms, superpoint_open.py:32-47)."""
 
     def max_pool(x):
-        # separable (2r+1)^2 max: two 1-D passes do 2(2r+1) compares/pixel
-        # instead of (2r+1)^2 — XLA does not split reduce_window itself
-        x = jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, 2 * radius + 1, 1), (1, 1, 1), "SAME"
-        )
-        return jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, 1, 2 * radius + 1), (1, 1, 1), "SAME"
-        )
+        # separable (2r+1)^2 max as two shift-tree passes (exact)
+        return _axis_max(_axis_max(x, radius, 1), radius, 2)
 
     zeros = jnp.zeros_like(scores)
     max_mask = scores == max_pool(scores)
@@ -353,7 +376,9 @@ class SuperPoint(BaseModel):
                     x, k1, cb1, mul1, add1, k2, cb2, mul2, add2,
                     interpret=jax.default_backend() != "tpu",
                 )
-                if dtype is None:
+                if dtype != jnp.bfloat16:
+                    # the fused kernel computes in bf16; keep the conf dtype
+                    # contract for float32 (and None) configs
                     x = x.astype(jnp.float32)
                 continue
             # s2d pays 16/9 FLOPs to raise output lanes 4x: a win only while
@@ -364,6 +389,9 @@ class SuperPoint(BaseModel):
                 xs = _space_to_depth(x)
                 xs = VGGBlock(c, dtype=dtype)(xs, is_training, s2d_mode="p0_to_p1")
                 xs = VGGBlock(c, dtype=dtype)(xs, is_training, s2d_mode="p1_to_p0")
+                # (a fused pool+next-s2d variant was measured in r3 and LOST
+                # badly — the 8-d reshape/transpose lowers poorly; keep the
+                # simple group-max pool)
                 if has_pool:  # 2x2 max pool == max over the 4 P0 pixel groups
                     bb, hh, ww, _ = xs.shape
                     x = xs.reshape(bb, hh, ww, 2, 2, c).max(axis=(3, 4))

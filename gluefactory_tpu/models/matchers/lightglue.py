@@ -102,6 +102,11 @@ class LightGlue(BaseModel):
         "width_confidence": -1.0,  # point pruning (mask-based), disable with -1
         "filter_threshold": 0.0,
         "checkpointed": False,  # remat each layer
+        # collect per-layer descriptors (needed by the deep-supervision loss
+        # and the reference output contract). False skips the scan stacking at
+        # inference: ref_descriptors* then carry ONLY the exit layer (L=1),
+        # like the adaptive path.
+        "collect_layers": True,
         "posenc": "conditional_fourier",  # "fourier" (upstream) | "conditional_fourier" (fork :50-77)
         "weights": None,  # path to a converted .npz of official weights
         "is_training": False,
@@ -237,7 +242,10 @@ class LightGlue(BaseModel):
         w2, b2 = self._slice(ffn2, i, x.dtype)
         scale = jax.lax.dynamic_index_in_dim(ln[0], i, 0, keepdims=False)
         bias = jax.lax.dynamic_index_in_dim(ln[1], i, 0, keepdims=False)
-        y = _dense(jnp.concatenate([x, message], axis=-1), w1, b1)
+        # concat([x, message]) @ W1 as two half-K matmuls: the (B, N, 2D)
+        # concat never materializes (saves an HBM round trip per FFN)
+        d = x.shape[-1]
+        y = _dense(x, w1[:d], b1) + _dense(message, w1[d:])
         y = jax.nn.gelu(_layer_norm(y, scale, bias), approximate=False)
         return _dense(y, w2, b2)
 
@@ -440,25 +448,33 @@ class LightGlue(BaseModel):
                     [ones(m) if mask0 is None else mask0,
                      ones(n) if mask1 is None else mask1], axis=0)
 
+            collect = self.conf.collect_layers or self.conf.is_training
+
             def step(carry, i):
                 d = self._layer_stacked(i, carry, enc, mask)
-                return d, d
+                return d, (d if collect else None)
 
             if self.conf.checkpointed:
                 step = jax.checkpoint(step)
             desc, alls = jax.lax.scan(step, desc, jnp.arange(n_layers))
+            if not collect:
+                alls = desc[None]
             return desc[:b], desc[b:], alls[:, :b], alls[:, b:]
+
+        collect = self.conf.collect_layers or self.conf.is_training
 
         def step(carry, i):
             d0, d1 = carry
             d0, d1 = self._layer(i, d0, d1, enc0, enc1, mask0, mask1)
-            return (d0, d1), (d0, d1)
+            return (d0, d1), ((d0, d1) if collect else (None, None))
 
         if self.conf.checkpointed:
             step = jax.checkpoint(step)
         (desc0, desc1), (all0, all1) = jax.lax.scan(
             step, (desc0, desc1), jnp.arange(n_layers)
         )
+        if not collect:
+            all0, all1 = desc0[None], desc1[None]
         return desc0, desc1, all0, all1
 
     def _run_layers_adaptive(self, desc0, desc1, enc0, enc1, act0, act1):

@@ -45,7 +45,14 @@ def shard_batch(batch, mesh: Mesh, strict: bool = True):
     repl = replicated(mesh)
 
     leaves = [x for x in jax.tree.leaves(batch) if hasattr(x, "shape") and x.ndim >= 1]
-    bs = leaves[0].shape[0] if leaves else None
+    # the batch size is the most common leading dim across array leaves (a
+    # lone non-batch-shaped leaf that happens to sort first must not win)
+    if leaves:
+        from collections import Counter
+
+        bs = Counter(x.shape[0] for x in leaves).most_common(1)[0][0]
+    else:
+        bs = None
     if strict and bs is not None and bs % n != 0:
         raise ValueError(
             f"batch size {bs} is not divisible by the {n}-device mesh; pad the "

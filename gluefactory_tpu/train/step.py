@@ -100,7 +100,9 @@ def make_train_step(model, tx: optax.GradientTransformation, grad_stats: bool = 
         if grad_stats:
             sq = jax.tree.map(lambda g: jnp.sum(jnp.square(g.astype(jnp.float32))), grads)
             losses["grad/norm"] = jnp.sqrt(sum(jax.tree.leaves(sq)))
-            for mod, sub in (sq.items() if isinstance(sq, dict) else ()):
+            from collections.abc import Mapping
+
+            for mod, sub in (sq.items() if isinstance(sq, Mapping) else ()):
                 losses[f"grad/norm/{mod}"] = jnp.sqrt(sum(jax.tree.leaves(sub)))
         return new_state, losses
 

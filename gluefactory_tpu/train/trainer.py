@@ -230,9 +230,14 @@ class Trainer:
                     )["matches0"]
                 if gt0 is not None:
                     m0 = np.asarray(p["matches0"])
+                    gt0_np = np.asarray(gt0)
+                    # exclude predictions whose GT label is IGNORE (-2,
+                    # ambiguous correspondence) — the reference convention
+                    # drops ignored keypoints from metrics entirely
                     pr.update(
-                        m0 == np.asarray(gt0),
-                        np.asarray(p["matching_scores0"]), mask=m0 >= 0,
+                        m0 == gt0_np,
+                        np.asarray(p["matching_scores0"]),
+                        mask=(m0 >= 0) & (gt0_np != -2),
                     )
             for k, v in {**losses, **metrics}.items():
                 arr = np.asarray(v).reshape(-1)
