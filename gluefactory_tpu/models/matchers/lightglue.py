@@ -99,7 +99,17 @@ class LightGlue(BaseModel):
         "flash": True,  # use the fused attention path (Pallas on TPU)
         "mp": False,  # bf16 compute inside attention
         "depth_confidence": -1.0,  # early stopping, disable with -1
-        "width_confidence": -1.0,  # point pruning (mask-based), disable with -1
+        "width_confidence": -1.0,  # point pruning, disable with -1
+        # static compact-prefix capacity for width pruning, as a fraction of
+        # the keypoint count (or an absolute int). Once EVERY batch element's
+        # active set fits the capacity, survivors are gathered into (B, C)
+        # buffers and the remaining layers run there — a REAL FLOP reduction
+        # (attention/FFN cost drops ~ (C/N)^2 / C/N) with static shapes,
+        # unlike the reference's shape-changing index_select
+        # (lightglue.py:532-547). Exact: compaction only engages when all
+        # active tokens fit, so no token is ever dropped. <= 0 disables
+        # (mask-only pruning).
+        "width_capacity": 0.5,
         "filter_threshold": 0.0,
         "checkpointed": False,  # remat each layer
         # collect per-layer descriptors (needed by the deep-supervision loss
@@ -477,9 +487,30 @@ class LightGlue(BaseModel):
             all0, all1 = desc0[None], desc1[None]
         return desc0, desc1, all0, all1
 
+    def _resolve_capacity(self, n_pts: int) -> int:
+        """Static compact width for a side with n_pts slots; 0 disables."""
+        cap = self.conf.width_capacity
+        if cap is None or cap <= 0 or self.conf.width_confidence <= 0:
+            return 0
+        c = int(cap) if cap > 1 else int(np.ceil(cap * n_pts))
+        mult = 128 if n_pts >= 256 else 8  # kernel-friendly multiple
+        c = int(min(n_pts, -(-c // mult) * mult))
+        return 0 if c >= n_pts else c
+
     def _run_layers_adaptive(self, desc0, desc1, enc0, enc1, act0, act1):
         """Adaptive depth/width pass (inference): lax.while_loop with early
-        exit on token confidence and mask-based point pruning."""
+        exit on token confidence and point pruning.
+
+        Width pruning runs in TWO phases. Phase 1 processes full-size (B, N)
+        tensors while any batch element's active set exceeds the static
+        capacity C (conf.width_capacity). Once everything fits, survivors are
+        gathered into compact (B, C) buffers — descriptors, rotary encodings,
+        masks — and phase 2 runs the remaining layers there: attention,
+        projections and FFNs all shrink, a real FLOP cut with static shapes
+        (the reference's shape-changing index_select, lightglue.py:532-547,
+        is impossible under jit). Survivor descriptors scatter back into the
+        full buffers afterwards; tokens pruned before compaction keep their
+        stale descriptors, which the final masked assignment never reads."""
         conf = self.conf
         n_layers = conf.n_layers
         b, m = act0.shape
@@ -487,61 +518,115 @@ class LightGlue(BaseModel):
         thresholds = jnp.asarray(self.confidence_thresholds)
         prune0 = jnp.ones((b, m), jnp.float32)
         prune1 = jnp.ones((b, n), jnp.float32)
+        c0_cap = self._resolve_capacity(m)
+        c1_cap = self._resolve_capacity(n)
+        use_compact = c0_cap > 0 and c1_cap > 0
 
-        def cond_fn(state):
-            i, _, _, done, *_ = state
-            return jnp.logical_and(i < n_layers, jnp.logical_not(done))
+        def make_body(enc0_, enc1_, idx0=None, idx1=None):
+            """Loop body over (d0, d1) of any static width. idx0/idx1 map
+            compact slots to original token ids for prune-count scatter."""
 
-        def body_fn(state):
-            i, d0, d1, done, a0, a1, p0, p1 = state
-            d0, d1 = self._layer(i, d0, d1, enc0, enc1, a0, a1)
-            is_last = i == n_layers - 1
+            def body_fn(state):
+                i, d0, d1, done, a0, a1, p0, p1 = state
+                mloc, nloc = a0.shape[1], a1.shape[1]
+                d0, d1 = self._layer(i, d0, d1, enc0_, enc1_, a0, a1)
+                is_last = i == n_layers - 1
 
-            def check_stop():
-                c0, c1 = self._confidence(jnp.minimum(i, n_layers - 2), d0, d1)
-                th = thresholds[i]
-                confident = jnp.concatenate(
-                    [jnp.where(a0, (c0 > th), True), jnp.where(a1, (c1 > th), True)],
-                    axis=-1,
-                )
-                num = jnp.concatenate([a0, a1], axis=-1).sum(-1).astype(jnp.float32)
-                ratio = confident.sum(-1).astype(jnp.float32) - (m + n - num)
-                ratio = ratio / jnp.maximum(num, 1.0)
-                return jnp.all(ratio > conf.depth_confidence), c0, c1
+                def check_stop():
+                    c0, c1 = self._confidence(jnp.minimum(i, n_layers - 2), d0, d1)
+                    th = thresholds[i]
+                    confident = jnp.concatenate(
+                        [jnp.where(a0, (c0 > th), True), jnp.where(a1, (c1 > th), True)],
+                        axis=-1,
+                    )
+                    # inactive slots count as confident then subtract out, so
+                    # the ratio is identical between full and compact views
+                    num = jnp.concatenate([a0, a1], axis=-1).sum(-1).astype(jnp.float32)
+                    ratio = confident.sum(-1).astype(jnp.float32) - (mloc + nloc - num)
+                    ratio = ratio / jnp.maximum(num, 1.0)
+                    return jnp.all(ratio > conf.depth_confidence), c0, c1
 
-            if conf.depth_confidence > 0:
-                stop, c0, c1 = jax.lax.cond(
-                    is_last,
-                    lambda: (jnp.asarray(True), jnp.ones((b, m)), jnp.ones((b, n))),
-                    check_stop,
-                )
-            else:
-                stop = is_last
-                c0 = jnp.ones((b, m))
-                c1 = jnp.ones((b, n))
+                if conf.depth_confidence > 0:
+                    stop, c0, c1 = jax.lax.cond(
+                        is_last,
+                        lambda: (jnp.asarray(True), jnp.ones((b, mloc)), jnp.ones((b, nloc))),
+                        check_stop,
+                    )
+                else:
+                    stop = is_last
+                    c0 = jnp.ones((b, mloc))
+                    c1 = jnp.ones((b, nloc))
 
-            if conf.width_confidence > 0:
-                # keep likely-matchable or low-confidence tokens (reference
-                # get_pruning_mask :586-593); never prune once stopped.
-                th = thresholds[jnp.minimum(i, n_layers - 1)]
-                keep0 = (self._matchability(i, d0) > (1 - conf.width_confidence)) | (
-                    c0 <= th
-                )
-                keep1 = (self._matchability(i, d1) > (1 - conf.width_confidence)) | (
-                    c1 <= th
-                )
-                a0_new = jnp.where(stop | is_last, a0, a0 & keep0)
-                a1_new = jnp.where(stop | is_last, a1, a1 & keep1)
-                p0 = p0 + a0_new.astype(jnp.float32)
-                p1 = p1 + a1_new.astype(jnp.float32)
-                a0, a1 = a0_new, a1_new
+                if conf.width_confidence > 0:
+                    # keep likely-matchable or low-confidence tokens (reference
+                    # get_pruning_mask :586-593); never prune once stopped.
+                    th = thresholds[jnp.minimum(i, n_layers - 1)]
+                    keep0 = (self._matchability(i, d0) > (1 - conf.width_confidence)) | (
+                        c0 <= th
+                    )
+                    keep1 = (self._matchability(i, d1) > (1 - conf.width_confidence)) | (
+                        c1 <= th
+                    )
+                    a0_new = jnp.where(stop | is_last, a0, a0 & keep0)
+                    a1_new = jnp.where(stop | is_last, a1, a1 & keep1)
+                    bidx = jnp.arange(b)[:, None]
+                    if idx0 is None:
+                        p0 = p0 + a0_new.astype(jnp.float32)
+                        p1 = p1 + a1_new.astype(jnp.float32)
+                    else:  # scatter compact survivor counts to original ids
+                        p0 = p0.at[bidx, idx0].add(a0_new.astype(jnp.float32))
+                        p1 = p1.at[bidx, idx1].add(a1_new.astype(jnp.float32))
+                    a0, a1 = a0_new, a1_new
 
-            return (i + 1, d0, d1, stop, a0, a1, p0, p1)
+                return (i + 1, d0, d1, stop, a0, a1, p0, p1)
+
+            return body_fn
+
+        def over_capacity(a0, a1):
+            return jnp.logical_or(
+                jnp.max(a0.sum(-1)) > c0_cap, jnp.max(a1.sum(-1)) > c1_cap
+            )
+
+        def cond_full(state):
+            i, _, _, done, a0, a1, *_ = state
+            go = jnp.logical_and(i < n_layers, jnp.logical_not(done))
+            if use_compact:
+                go = jnp.logical_and(go, over_capacity(a0, a1))
+            return go
 
         state = (jnp.asarray(0), desc0, desc1, jnp.asarray(False), act0, act1, prune0, prune1)
-        i_end, desc0, desc1, _, act0, act1, prune0, prune1 = jax.lax.while_loop(
-            cond_fn, body_fn, state
-        )
+        state = jax.lax.while_loop(cond_full, make_body(enc0, enc1), state)
+        i_end, desc0, desc1, done, act0, act1, prune0, prune1 = state
+
+        if use_compact:
+            bidx = jnp.arange(b)[:, None]
+            # actives first, original order preserved (stable argsort)
+            idx0 = jnp.argsort(jnp.logical_not(act0), axis=-1)[:, :c0_cap]
+            idx1 = jnp.argsort(jnp.logical_not(act1), axis=-1)[:, :c1_cap]
+            take = lambda t, idx: jnp.take_along_axis(t, idx[..., None], axis=1)
+            d0c = take(desc0, idx0)
+            d1c = take(desc1, idx1)
+            a0c = jnp.take_along_axis(act0, idx0, axis=1)
+            a1c = jnp.take_along_axis(act1, idx1, axis=1)
+            e0c = jnp.take_along_axis(enc0, idx0[None, :, :, None], axis=2)
+            e1c = jnp.take_along_axis(enc1, idx1[None, :, :, None], axis=2)
+
+            def cond_compact(state):
+                i, _, _, done, *_ = state
+                return jnp.logical_and(i < n_layers, jnp.logical_not(done))
+
+            cstate = (i_end, d0c, d1c, done, a0c, a1c, prune0, prune1)
+            cstate = jax.lax.while_loop(
+                cond_compact, make_body(e0c, e1c, idx0, idx1), cstate
+            )
+            i_end, d0c, d1c, _, a0c, a1c, prune0, prune1 = cstate
+            # scatter survivors back; never-gathered tokens keep their
+            # phase-1 descriptors and stay inactive
+            desc0 = desc0.at[bidx, idx0].set(d0c)
+            desc1 = desc1.at[bidx, idx1].set(d1c)
+            act0 = jnp.zeros_like(act0).at[bidx, idx0].set(a0c)
+            act1 = jnp.zeros_like(act1).at[bidx, idx1].set(a1c)
+
         return desc0, desc1, i_end - 1, act0, act1, prune0, prune1
 
     # -------------------------------------------------------------------- loss

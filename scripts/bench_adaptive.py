@@ -101,5 +101,49 @@ def main():
     print(f"adaptive no-exit  (exit@{stop_deep})     {t_deep:7.2f} ms   {1e3/t_deep:6.1f} pairs/s")
 
 
+def make_data_b(rng, b, easy=True):
+    d1 = make_data(rng, easy)
+    rep = lambda t: jnp.repeat(t, b, axis=0) if hasattr(t, "ndim") and t.ndim >= 1 else t
+    return jax.tree.map(rep, d1)
+
+
+def width_section():
+    """Width pruning with the compact-prefix engine (r3): same pruning
+    decisions as mask-only, but layers after compaction run at C=N/2."""
+    rng = np.random.RandomState(0)
+    base = {"filter_threshold": 0.1, "mp": True}
+    scan_model = get_model("lightglue").from_conf(base)
+    data1 = make_data_b(rng, 1)
+    params = scan_model.init(jax.random.PRNGKey(0), data1)
+    # matchability head biased negative -> a real fraction of tokens prunes
+    # (random-init matchability never drops below the keep threshold)
+    p = {"params": dict(params["params"])}
+    p["params"]["assign_match_b"] = jnp.full_like(p["params"]["assign_match_b"], -1.4)
+
+    masked_model = get_model("lightglue").from_conf(
+        {**base, "width_confidence": 0.8, "width_capacity": -1}
+    )
+    compact_model = get_model("lightglue").from_conf(
+        {**base, "width_confidence": 0.8, "width_capacity": 0.5}
+    )
+
+    for b in (1, 8):
+        data = make_data_b(np.random.RandomState(0), b)
+        scan_fn = jax.jit(lambda d: scan_model.apply(params, d))
+        masked_fn = jax.jit(lambda d: masked_model.apply(p, d))
+        compact_fn = jax.jit(lambda d: compact_model.apply(p, d))
+        t_scan = timed(scan_fn, data)
+        t_masked = timed(masked_fn, data)
+        t_compact = timed(compact_fn, data)
+        out = compact_fn(data)
+        pruned = float((np.asarray(out["prune0"]) < 9).mean())
+        print(f"[b{b}] scan            {t_scan:7.2f} ms")
+        print(f"[b{b}] width masked    {t_masked:7.2f} ms  (pruned frac {pruned:.2f})")
+        print(f"[b{b}] width compact   {t_compact:7.2f} ms  ({t_masked/t_compact:.2f}x vs masked, {t_scan/t_compact:.2f}x vs scan)")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "width":
+        width_section()
+    else:
+        main()

@@ -349,6 +349,66 @@ class TestLightGlue:
             np.asarray(one_layer["matching_scores0"]), atol=1e-5,
         )
 
+    def test_width_compact_prefix_parity(self, model_and_params, rng):
+        """VERDICT r2 #2: compact-prefix width pruning (real FLOP reduction)
+        must produce the SAME matches/scores/prune counts as the mask-only
+        path — compaction only engages when all active tokens fit the static
+        capacity, so it may never change which tokens survive or their
+        values (inactive attention slots contribute exact zeros)."""
+        model, params = model_and_params
+        base = {
+            "n_layers": 3, "descriptor_dim": 64, "input_dim": 64,
+            "num_heads": 2, "width_confidence": 0.8,
+        }
+        data, _, _ = make_matching_data(rng, b=2, n=32, d=64)
+
+        # shift the matchability head negative so a real fraction of tokens
+        # falls under the keep threshold (random-init matchability concentrates
+        # above it and nothing would prune)
+        p = {"params": dict(params["params"])}
+        p["params"]["assign_match_b"] = jnp.full_like(
+            p["params"]["assign_match_b"], -1.5
+        )
+
+        masked = get_model("lightglue").from_conf(
+            {**base, "width_capacity": -1}
+        ).apply(p, data)
+        compact = get_model("lightglue").from_conf(
+            {**base, "width_capacity": 0.5}  # C = 16 of 32
+        ).apply(p, data)
+
+        # the aggressive width_confidence must actually prune (and compact):
+        # prune0 < n_layers for at least one token, actives fit in C=16
+        p0 = np.asarray(masked["prune0"])
+        assert (p0 < base["n_layers"]).any(), "pruning never fired; test is vacuous"
+
+        np.testing.assert_array_equal(
+            np.asarray(compact["matches0"]), np.asarray(masked["matches0"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(compact["matches1"]), np.asarray(masked["matches1"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(compact["matching_scores0"]),
+            np.asarray(masked["matching_scores0"]), atol=1e-5,
+        )
+        np.testing.assert_array_equal(p0, np.asarray(compact["prune0"]))
+        np.testing.assert_array_equal(
+            np.asarray(masked["prune1"]), np.asarray(compact["prune1"])
+        )
+        assert int(compact["stop_layer"]) == int(masked["stop_layer"])
+        # log assignment must agree wherever BOTH tokens stayed active
+        act0 = p0 >= base["n_layers"]
+        act1 = np.asarray(masked["prune1"]) >= base["n_layers"]
+        la_m = np.asarray(masked["log_assignment"])
+        la_c = np.asarray(compact["log_assignment"])
+        for bi in range(2):
+            r = np.flatnonzero(act0[bi])
+            c = np.flatnonzero(act1[bi])
+            np.testing.assert_allclose(
+                la_c[bi][np.ix_(r, c)], la_m[bi][np.ix_(r, c)], atol=1e-5
+            )
+
 
 class TestSuperPoint:
     def test_detects_corners(self, rng):
