@@ -70,46 +70,72 @@ def ransac_homography(
     th: float = 3.0,
     num_hypotheses: int = 1024,
     refine_iters: int = 3,
+    guided_rounds: int = 1,
 ) -> RansacResult:
     """Single-pair batched RANSAC for a homography. All args unbatched
-    (N, 2) / (N,); vmap for pairs."""
+    (N, 2) / (N,); vmap for pairs.
+
+    `guided_rounds`: like the E estimator — after the uniform round, re-draw
+    hypotheses weighted by the current best model's soft-inlier weights. A
+    4-point all-inlier draw has probability inlier_rate^4, so the uniform
+    round degrades past ~60% outliers at fixed K; the enriched second round
+    restores it (r2 gap vs OpenCV at 60-70% outliers, docs/ransac_comparison.md)."""
     valid_f = valid.astype(jnp.float32)
-    idx = sample_minimal_indices(key, valid, num_hypotheses, 4)  # (K, 4)
-    p0 = kpts0[idx]  # (K, 4, 2)
-    p1 = kpts1[idx]
-    Hs = solve_homography_dlt(p0, p1)  # (K, 3, 3)
-
-    errs = homography_residuals(kpts0[None], kpts1[None], Hs)  # (K, N)
-    # multi-candidate LO (same scheme as the E estimator): refine the top-4
-    # per selection scale in one batched IRLS, pick by tight-threshold MSAC
-    cand_parts = []
-    for mult in (1.0, 2.0, 4.0):
-        cand_parts.append(
-            jax.lax.top_k(_msac_score(errs, th * mult, valid_f[None]), 4)[1]
-        )
-    cand_idx = jnp.concatenate(cand_parts)
     n_cand = 12
-    H_cand = Hs[cand_idx]  # (C, 3, 3)
+    # annealed LO thresholds: coarse-to-fine then polish at 1x (the E
+    # estimator's scheme; a fixed tight threshold locks onto overfit minimal
+    # models at high outlier rates)
+    multipliers = [4.0, 2.0] + [1.0] * max(refine_iters, 2)
 
-    def refine(H, _):
-        err = homography_residuals(kpts0[None], kpts1[None], H)  # (C, N)
-        w = jnp.maximum(0.0, 1.0 - (err / th) ** 2) * valid_f[None]
-        H_new = solve_homography_dlt(
-            jnp.broadcast_to(kpts0[None], (n_cand,) + kpts0.shape),
-            jnp.broadcast_to(kpts1[None], (n_cand,) + kpts1.shape),
-            w,
-        )
-        old = _msac_score(err, th, valid_f[None])
-        new = _msac_score(
-            homography_residuals(kpts0[None], kpts1[None], H_new), th, valid_f[None]
-        )
-        ok = (new >= old) & jnp.all(jnp.isfinite(H_new), axis=(-1, -2))
-        return jnp.where(ok[:, None, None], H_new, H), None
+    def candidates_from(idx):
+        Hs = solve_homography_dlt(kpts0[idx], kpts1[idx])  # (K, 3, 3)
+        errs = homography_residuals(kpts0[None], kpts1[None], Hs)  # (K, N)
+        # multi-candidate LO: top-4 per selection scale, batched IRLS
+        cand_parts = []
+        for mult in (1.0, 2.0, 4.0):
+            cand_parts.append(
+                jax.lax.top_k(_msac_score(errs, th * mult, valid_f[None]), 4)[1]
+            )
+        H_cand = Hs[jnp.concatenate(cand_parts)]  # (C, 3, 3)
 
-    H_cand, _ = jax.lax.scan(refine, H_cand, None, length=refine_iters)
-    final_errs = homography_residuals(kpts0[None], kpts1[None], H_cand)
+        def refine(H, mult):
+            t = th * mult
+            err = homography_residuals(kpts0[None], kpts1[None], H)  # (C, N)
+            w = jnp.maximum(0.0, 1.0 - (err / t) ** 2) * valid_f[None]
+            H_new = solve_homography_dlt(
+                jnp.broadcast_to(kpts0[None], (n_cand,) + kpts0.shape),
+                jnp.broadcast_to(kpts1[None], (n_cand,) + kpts1.shape),
+                w,
+            )
+            old = _msac_score(err, t, valid_f[None])
+            new = _msac_score(
+                homography_residuals(kpts0[None], kpts1[None], H_new), t, valid_f[None]
+            )
+            ok = (new >= old) & jnp.all(jnp.isfinite(H_new), axis=(-1, -2))
+            return jnp.where(ok[:, None, None], H_new, H), None
+
+        H_cand, _ = jax.lax.scan(refine, H_cand, jnp.asarray(multipliers))
+        return H_cand
+
+    key, k0 = jax.random.split(key)
+    idx = sample_minimal_indices(k0, valid, num_hypotheses, 4)  # (K, 4)
+    H_all = candidates_from(idx)
+
+    for _ in range(guided_rounds):
+        errs_all = homography_residuals(kpts0[None], kpts1[None], H_all)
+        scores_all = _msac_score(errs_all, th, valid_f[None])
+        err_best = errs_all[jnp.argmax(scores_all)]
+        # soft inlier log-weights at a relaxed threshold; floor keeps the
+        # distribution proper when the first round found nothing
+        w_guide = jnp.maximum(0.0, 1.0 - (err_best / (2.0 * th)) ** 2) * valid_f
+        logw = jnp.log(w_guide + 1e-4) + jnp.where(valid, 0.0, -1e9)
+        key, kg = jax.random.split(key)
+        idx_g = sample_weighted_indices(kg, logw, num_hypotheses, 4)
+        H_all = jnp.concatenate([H_all, candidates_from(idx_g)], axis=0)
+
+    final_errs = homography_residuals(kpts0[None], kpts1[None], H_all)
     best = jnp.argmax(_msac_score(final_errs, th, valid_f[None]))
-    H = H_cand[best]
+    H = H_all[best]
     err = final_errs[best]
     inliers = (err < th) & valid
     success = jnp.sum(inliers) >= 4
@@ -357,7 +383,8 @@ def ransac_relative_pose(
 # jitted entries: th is traced (threshold sweeps reuse one program),
 # hypothesis counts / refine iters are static.
 ransac_homography_jit = jax.jit(
-    ransac_homography, static_argnames=("num_hypotheses", "refine_iters")
+    ransac_homography,
+    static_argnames=("num_hypotheses", "refine_iters", "guided_rounds")
 )
 ransac_relative_pose_jit = jax.jit(
     ransac_relative_pose,

@@ -247,7 +247,7 @@ class TestRansacOutlierSweep:
         pg = pg[:, :2] / pg[:, 2:]
         return float(np.mean(np.linalg.norm(pe - pg, axis=-1)))
 
-    @pytest.mark.parametrize("rate,max_med_px", [(0.0, 0.6), (0.4, 0.8), (0.7, 1.6)])
+    @pytest.mark.parametrize("rate,max_med_px", [(0.0, 0.5), (0.4, 0.7), (0.7, 1.0)])
     def test_homography_accuracy_vs_outlier_rate(self, rate, max_med_px):
         est = load_estimator("homography", "jax_ransac")({"ransac_th": 3.0})
         errs = []
