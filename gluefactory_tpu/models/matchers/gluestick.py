@@ -80,13 +80,16 @@ def scatter_mean(values, idx, n_out):
 
 class _MLP(nn.Module):
     layers: tuple
+    use_ln: bool = True  # False for converted official weights (the
+    # reference's BatchNorm1d, gluestick.py:458-467, is folded into the convs)
 
     @nn.compact
     def __call__(self, x):
         for i, c in enumerate(self.layers):
             x = nn.Dense(c)(x)
             if i < len(self.layers) - 1:
-                x = nn.LayerNorm()(x)
+                if self.use_ln:
+                    x = nn.LayerNorm()(x)
                 x = nn.relu(x)
         return x
 
@@ -94,6 +97,7 @@ class _MLP(nn.Module):
 class _AttnPropagation(nn.Module):
     dim: int
     heads: int = 4
+    use_ln: bool = True
 
     @nn.compact
     def __call__(self, x, source, mask_x, mask_s):
@@ -112,11 +116,14 @@ class _AttnPropagation(nn.Module):
         b, _, n, _ = msg.shape
         msg = msg.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         msg = nn.Dense(self.dim)(msg)
-        return _MLP((2 * self.dim, self.dim))(jnp.concatenate([x, msg], -1))
+        return _MLP((2 * self.dim, self.dim), use_ln=self.use_ln)(
+            jnp.concatenate([x, msg], -1)
+        )
 
 
 class _LineLayer(nn.Module):
     dim: int
+    use_ln: bool = True
 
     @nn.compact
     def __call__(self, ldesc, line_enc, lines_junc_idx, line_ep_mask):
@@ -125,7 +132,7 @@ class _LineLayer(nn.Module):
         b, j, d = ldesc.shape
         ep = jnp.take_along_axis(ldesc, lines_junc_idx[..., None], axis=1)  # (B,2L,D)
         other = ep.reshape(b, -1, 2, d)[:, :, ::-1].reshape(b, -1, d)
-        message = _MLP((2 * self.dim, self.dim))(
+        message = _MLP((2 * self.dim, self.dim), use_ln=self.use_ln)(
             jnp.concatenate([ep, other, line_enc], -1)
         )
         message = message * line_ep_mask[..., None]
@@ -146,6 +153,14 @@ class GlueStick(BaseModel):
         "n_gnn_layers": 9,  # pairs of (self, cross)
         "num_line_iterations": 1,
         "filter_threshold": 0.2,
+        # False for converted official weights (reference BatchNorm folded in)
+        "ln": True,
+        # reproduce the reference EndPtEncoder's line-score layout: it TILES
+        # scores.repeat(1, 2) = [s_0..s_L, s_0..s_L] against line-major
+        # interleaved endpoints (gluestick.py:508-515), so endpoint (l, e)
+        # reads score (2l+e) mod L. Official weights were trained with this;
+        # our default uses the aligned per-line score.
+        "compat_tiled_line_scores": False,
         "checkpointed": False,
         "is_training": False,
         "loss": {"nll_weight": 1.0, "nll_balancing": 0.5},
@@ -163,16 +178,20 @@ class GlueStick(BaseModel):
         if conf.input_dim != d:
             self.input_proj = nn.Dense(d)
         enc_layers = tuple(conf.keypoint_encoder)
-        self.kenc = _MLP(enc_layers + (d,))
-        self.lenc = _MLP(enc_layers + (d,))
+        ln = bool(conf.ln)
+        self.kenc = _MLP(enc_layers + (d,), use_ln=ln)
+        self.lenc = _MLP(enc_layers + (d,), use_ln=ln)
         self.gnn_self = [
-            _AttnPropagation(d, name=f"self_{i}") for i in range(conf.n_gnn_layers)
+            _AttnPropagation(d, use_ln=ln, name=f"self_{i}")
+            for i in range(conf.n_gnn_layers)
         ]
         self.gnn_cross = [
-            _AttnPropagation(d, name=f"cross_{i}") for i in range(conf.n_gnn_layers)
+            _AttnPropagation(d, use_ln=ln, name=f"cross_{i}")
+            for i in range(conf.n_gnn_layers)
         ]
         self.line_layers = [
-            _LineLayer(d, name=f"line_{i}") for i in range(conf.n_gnn_layers)
+            _LineLayer(d, use_ln=ln, name=f"line_{i}")
+            for i in range(conf.n_gnn_layers)
         ]
         self.final_proj = nn.Dense(d)
         self.final_line_proj = nn.Dense(d)
@@ -186,10 +205,12 @@ class GlueStick(BaseModel):
         ln = normalize_keypoints_07(lines.reshape(b, -1, 2), size).reshape(b, L, 2, 2)
         offset = ln[:, :, 1] - ln[:, :, 0]  # (B, L, 2)
         offs = jnp.stack([offset, -offset], axis=2)  # (B, L, 2, 2)
-        feats = jnp.concatenate(
-            [ln, offs, jnp.broadcast_to(line_scores[..., None, None], (b, L, 2, 1))],
-            axis=-1,
-        ).reshape(b, 2 * L, 5)
+        if self.conf.compat_tiled_line_scores:
+            # upstream layout: tiled scores vs interleaved endpoints
+            sc = jnp.tile(line_scores, (1, 2)).reshape(b, L, 2, 1)
+        else:
+            sc = jnp.broadcast_to(line_scores[..., None, None], (b, L, 2, 1))
+        feats = jnp.concatenate([ln, offs, sc], axis=-1).reshape(b, 2 * L, 5)
         return self.lenc(feats)
 
     def __call__(self, data):
@@ -328,6 +349,14 @@ class GlueStick(BaseModel):
             if "gt_line_matches0" in data:
                 metrics.update(matcher_metrics(pred, data, prefix="line_"))
         return losses, metrics
+
+
+def pretrained_variables(conf_weights: str) -> dict:
+    """Converted-official-weights tree for `GlueStick.apply` (use conf
+    ln=False, compat_tiled_line_scores=True with these)."""
+    from .lightglue_pretrained import load_npz_params
+
+    return load_npz_params(conf_weights)
 
 
 __main_model__ = GlueStick

@@ -216,6 +216,137 @@ def convert_superglue(state: dict, n_gnn_layers: int = 9, num_heads: int = 4) ->
 
 
 # --------------------------------------------------------------------------- #
+# GlueStick (cvg checkpoint_GlueStick_MD.tar, state under 'model')
+# --------------------------------------------------------------------------- #
+def _mlp_to_dense(state: dict, prefix: str, n_convs: int) -> dict:
+    """Reference MLP (gluestick.py:458-467): Conv1d at indices 0,3,6,... with
+    BatchNorm1d at +1 after every conv but the last -> folded Dense stack."""
+    out = {}
+    for j in range(n_convs):
+        ci = 3 * j
+        w, b = _conv1d_to_dense(state, f"{prefix}.{ci}")
+        if j < n_convs - 1:
+            w, b = _fold_bn(w, b, state, f"{prefix}.{ci + 1}")
+        out[f"Dense_{j}"] = {"kernel": w, "bias": b}
+    return out
+
+
+def convert_gluestick(state: dict, n_gnn_layers: int = 9, num_heads: int = 4) -> dict:
+    """cvg/GlueStick checkpoint -> our flax tree. Use with model conf
+    ln=False, compat_tiled_line_scores=True. Assumes skip_init=False (no
+    'scaling' params; asserts). Attention channels are permuted from the
+    upstream dim-head-major packing (gluestick.py:536-539 view(b,dh,h,n))
+    to our head-major packing, like the SuperGlue converter."""
+    assert not any(k.endswith(".scaling") for k in state), (
+        "checkpoint trained with skip_init=True is not supported"
+    )
+    p: dict = {}
+    enc_convs = len({
+        int(k.split(".")[2]) for k in state
+        if k.startswith("kenc.encoder.") and k.endswith(".weight")
+        and "running" not in k and np.asarray(state[k]).ndim == 3
+    })
+    p["kenc"] = _mlp_to_dense(state, "kenc.encoder", enc_convs)
+    p["lenc"] = _mlp_to_dense(state, "lenc.encoder", enc_convs)
+
+    d = np.asarray(state["final_proj.weight"]).shape[0]
+    perm = _sg_head_permutation(d, num_heads)
+    for i in range(2 * n_gnn_layers):
+        ours = f"self_{i // 2}" if i % 2 == 0 else f"cross_{i // 2}"
+        pre = f"gnn.layers.{i}.update"
+        layer: dict = {}
+        for j in range(3):  # q, k, v -> head-major output channels
+            w, b = _conv1d_to_dense(state, f"{pre}.attn.proj.{j}")
+            layer[f"Dense_{j}"] = {"kernel": w[:, perm], "bias": b[perm]}
+        w, b = _conv1d_to_dense(state, f"{pre}.attn.merge")
+        layer["Dense_3"] = {"kernel": w[perm, :], "bias": b}
+        layer["_MLP_0"] = _mlp_to_dense(state, f"{pre}.mlp", 2)
+        p[ours] = layer
+
+    for i in range(n_gnn_layers):
+        p[f"line_{i}"] = {
+            "_MLP_0": _mlp_to_dense(state, f"gnn.line_layers.{i}.mlp", 2)
+        }
+
+    for ours, theirs in (("final_proj", "final_proj"),
+                         ("final_line_proj", "final_line_proj")):
+        w, b = _conv1d_to_dense(state, theirs)
+        p[ours] = {"kernel": w, "bias": b}
+    if "input_proj.weight" in state:
+        w, b = _conv1d_to_dense(state, "input_proj")
+        p["input_proj"] = {"kernel": w, "bias": b}
+    p["bin_score"] = np.asarray(state["bin_score"]).reshape(())
+    p["line_bin_score"] = np.asarray(state["line_bin_score"]).reshape(())
+    return {"params": p}
+
+
+# --------------------------------------------------------------------------- #
+# ALIKED (Shiaoming/ALIKED {model}.pth; reference aliked.py:591-786)
+# --------------------------------------------------------------------------- #
+def _conv2d_hwio(state: dict, key: str, fold_bn: str | None = None):
+    """torch Conv2d OIHW -> flax HWIO kernel (+ bias, optionally BN-folded)."""
+    w = np.asarray(state[f"{key}.weight"]).transpose(2, 3, 1, 0)
+    b = np.asarray(state.get(f"{key}.bias", np.zeros(w.shape[-1], np.float32)))
+    if fold_bn is not None:
+        gamma = np.asarray(state[f"{fold_bn}.weight"])
+        beta = np.asarray(state[f"{fold_bn}.bias"])
+        mean = np.asarray(state[f"{fold_bn}.running_mean"])
+        var = np.asarray(state[f"{fold_bn}.running_var"])
+        scale = gamma / np.sqrt(var + 1e-5)
+        w = w * scale
+        b = (b - mean) * scale + beta
+    return w, b
+
+
+def convert_aliked(state: dict) -> dict:
+    """ALIKED .pth -> our flax tree (models/extractors/aliked.py). BatchNorm
+    (eval) folds into the conv that precedes it; dcn blocks keep their
+    offset convs; SDDH convs become dense kernels."""
+    p: dict = {}
+
+    def conv_entry(key, fold_bn=None):
+        w, b = _conv2d_hwio(state, key, fold_bn)
+        return {"kernel": w, "bias": b}
+
+    def block(name, n_convs=2, has_down=False):
+        out = {}
+        for j in (1, 2):
+            conv_key = f"{name}.conv{j}"
+            if f"{conv_key}.regular_conv.weight" in state:  # dcn
+                d = conv_entry(f"{conv_key}.regular_conv", f"{name}.bn{j}")
+                d["offset_conv"] = conv_entry(f"{conv_key}.offset_conv")
+                out[f"conv{j}"] = d
+            else:
+                out[f"conv{j}"] = {"conv": conv_entry(conv_key, f"{name}.bn{j}")}
+        if has_down:
+            out["downsample"] = conv_entry(f"{name}.downsample")
+        return out
+
+    p["block1"] = block("block1")
+    p["block2"] = block("block2", has_down=True)
+    p["block3"] = block("block3", has_down=True)
+    p["block4"] = block("block4", has_down=True)
+    for j in (1, 2, 3, 4):  # aggregation 1x1 convs, bias=False
+        w = np.asarray(state[f"conv{j}.weight"]).transpose(2, 3, 1, 0)
+        p[f"conv{j}"] = {"conv": {"kernel": w}}
+    for ours, idx in (("score1", 0), ("score2", 2), ("score3", 4), ("score4", 6)):
+        w = np.asarray(state[f"score_head.{idx}.weight"]).transpose(2, 3, 1, 0)
+        p[ours] = {"conv": {"kernel": w}}
+
+    # SDDH: offset_conv.0 is a VALID KxK conv -> (K, K, D, 2M) dense kernel
+    w0 = np.asarray(state["desc_head.offset_conv.0.weight"]).transpose(2, 3, 1, 0)
+    p["sddh_offset0_kernel"] = w0
+    p["sddh_offset0_bias"] = np.asarray(state["desc_head.offset_conv.0.bias"])
+    p["sddh_offset1_kernel"] = np.asarray(
+        state["desc_head.offset_conv.2.weight"]
+    )[:, :, 0, 0].T
+    p["sddh_offset1_bias"] = np.asarray(state["desc_head.offset_conv.2.bias"])
+    p["sddh_sf_kernel"] = np.asarray(state["desc_head.sf_conv.weight"])[:, :, 0, 0].T
+    p["sddh_agg_weights"] = np.asarray(state["desc_head.agg_weights"])
+    return {"params": p}
+
+
+# --------------------------------------------------------------------------- #
 # I/O
 # --------------------------------------------------------------------------- #
 def flatten_tree(tree: dict) -> dict:
@@ -242,7 +373,9 @@ def save_tree_npz(tree: dict, path: str) -> int:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--kind", choices=["superpoint", "lightglue", "superglue"], required=True
+        "--kind",
+        choices=["superpoint", "lightglue", "superglue", "gluestick", "aliked"],
+        required=True
     )
     parser.add_argument("--input", required=True)
     parser.add_argument("--output", required=True)
@@ -258,6 +391,12 @@ def main():
         tree = convert_superpoint(state)
     elif args.kind == "superglue":
         tree = convert_superglue(state, args.n_layers, args.num_heads)
+    elif args.kind == "gluestick":
+        if any(k.startswith("model.") for k in state):
+            state = {k[len("model."):]: v for k, v in state.items() if k.startswith("model.")}
+        tree = convert_gluestick(state, args.n_layers, args.num_heads)
+    elif args.kind == "aliked":
+        tree = convert_aliked(state)
     else:
         state = rename_lightglue_v01(state, args.n_layers)
         tree = convert_lightglue(state, args.n_layers, args.num_heads)

@@ -145,11 +145,11 @@ class TestALIKED:
         pred = run_extractor(
             "aliked",
             {"max_num_keypoints": 48, "detection_threshold": 0.0,
-             "channels": [8, 16, 16, 32], "descriptor_dim": 32, "sddh_M": 4},
+             "model_name": "aliked-t16"},
             rng,
         )
         assert pred["keypoints"].shape == (1, 48, 2)
-        assert pred["descriptors"].shape == (1, 48, 32)
+        assert pred["descriptors"].shape == (1, 48, 64)
         assert pred["score_map"].shape == (1, 64, 64)
         kp = np.asarray(pred["keypoints"][0])
         assert kp.min() >= -3 and kp.max() <= 67  # sub-pixel refinement stays local
