@@ -119,6 +119,11 @@ class BaseDataset:
         usual mode is one process feeding the whole mesh, so the default is
         no sharding."""
         dataset = self.get_dataset(split)
+        if hasattr(dataset, "set_epoch"):
+            # per-epoch sample RNG: deterministic (reproducible runs, and
+            # multi-process training needs every process to generate the
+            # SAME global batch) yet varying across epochs
+            dataset.set_epoch(epoch)
         bs = self.batch_size(split)
         if len(dataset) < bs:
             raise ValueError(
@@ -164,6 +169,11 @@ class BaseDataset:
     def get_overfit_loader(self, split: str, length: int = 100):
         """Repeat one batch forever-ish (reference LoopSampler overfit mode)."""
         dataset = self.get_dataset(split)
+        if hasattr(dataset, "set_epoch"):
+            # per-epoch sample RNG: deterministic (reproducible runs, and
+            # multi-process training needs every process to generate the
+            # SAME global batch) yet varying across epochs
+            dataset.set_epoch(epoch)
         bs = self.batch_size(split)
         batch = collate([dataset[i % len(dataset)] for i in range(bs)])
 

@@ -52,15 +52,21 @@ class _HomographySplit:
         self.parent = parent
         self.names = names
         self.split = split
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.names)
 
     def __getitem__(self, idx: int) -> dict:
         conf = self.parent.conf
-        rng = np.random.RandomState(
-            (conf.seed + idx) if self.split != "train" else None
-        )
+        # train samples draw fresh augmentations every EPOCH but are
+        # deterministic in (seed, epoch, idx): reproducible runs, and every
+        # process of a multi-process run generates the same global batch
+        seed = conf.seed + idx + (1_000_003 * (self.epoch + 1) if self.split == "train" else 0)
+        rng = np.random.RandomState(seed % (2**31))
         img = self.parent.read_image(self.names[idx], rng)
         h, w = img.shape[:2]
         ps = tuple(conf.homography.patch_shape)

@@ -312,11 +312,17 @@ class SuperPoint(BaseModel):
         self.check_required_keys(data)
         conf = self.conf
         image = data["image"]  # (B, H, W, C) in [0, 1]
+        is_training = conf.is_training
+        # paired training view: both views run BATCH-CONCATENATED through the
+        # one trunk (shared params, shared BatchNorm batch stats) and the
+        # outputs split afterwards — no parameter-tree change vs inference
+        paired = is_training and "image2" in data
+        if paired:
+            image = jnp.concatenate([image, data["image2"]], axis=0)
         if image.shape[-1] == 3:  # RGB -> grayscale (reference :119-121)
             image = jnp.sum(
                 image * jnp.asarray([0.299, 0.587, 0.114], image.dtype), -1, keepdims=True
             )
-        is_training = conf.is_training
 
         channels = list(conf.channels)
         stride = 2 ** (len(channels) - 2)
@@ -423,6 +429,20 @@ class SuperPoint(BaseModel):
         logits = VGGBlock(stride**2 + 1, kernel=1, relu=False, dtype=dtype)(
             sx, is_training
         ).astype(jnp.float32)
+        if is_training:
+            # detector/descriptor training outputs (multipoint losses); the
+            # NMS/top-k selection head is inference-only
+            dd = dense_desc.astype(jnp.float32)
+            if paired:
+                bb = logits.shape[0] // 2
+                return {
+                    "logits": logits[:bb],
+                    "logits2": logits[bb:],
+                    "dense_descriptors": dd[:bb],
+                    "dense_descriptors2": dd[bb:],
+                }
+            return {"logits": logits, "dense_descriptors": dd}
+
         scores = jax.nn.softmax(logits, axis=-1)[..., :-1]
         b, hc, wc, _ = scores.shape
         scores = scores.reshape(b, hc, wc, stride, stride)
@@ -471,7 +491,17 @@ class SuperPoint(BaseModel):
         return pred
 
     def loss(self, pred, data):
-        raise NotImplementedError
+        """SuperPoint-style self-supervised detector (+ paired descriptor)
+        loss (multipoint/utils/losses.py; reference multipoint losses.py
+        :87-213). Needs data: keypoint_map (B, H, W), valid_mask, and for
+        pairs keypoint_map2/valid_mask2/H_0to1."""
+        if "logits" not in pred:
+            # inference-mode predictions carry no training outputs; pipelines
+            # catch this like any non-trainable component
+            raise NotImplementedError
+        from ...multipoint.utils.losses import superpoint_loss
+
+        return superpoint_loss(pred, data, {"cell": 8})
 
 
 __main_model__ = SuperPoint

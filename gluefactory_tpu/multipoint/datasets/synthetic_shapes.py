@@ -239,6 +239,39 @@ class _ShapesSplit:
             if len(kpts):
                 kh = np.concatenate([kpts, np.ones((len(kpts), 1))], 1) @ H.T
                 kpts = (kh[:, :2] / kh[:, 2:]).astype(np.float32)
+        pair = {}
+        if conf.warped_pair:
+            # second view: warp view 1 (pre-photometric) by a fresh
+            # homography; keypoints/validity follow. Photometric jitter is
+            # applied independently per view below.
+            H2, *_ = sample_homography_corners(
+                (w, h), (w, h), rng=rng, **dict(conf.augmentation.homographic.params)
+            )
+            image2 = cv2.warpPerspective(image, H2, (w, h))
+            valid2 = cv2.warpPerspective(valid, H2, (w, h))
+            kpts2 = kpts.copy() if len(kpts) else kpts
+            if len(kpts2):
+                kh2 = np.concatenate([kpts2, np.ones((len(kpts2), 1))], 1) @ H2.T
+                kpts2 = (kh2[:, :2] / kh2[:, 2:]).astype(np.float32)
+                inb2 = (
+                    (kpts2[:, 0] >= 0) & (kpts2[:, 0] <= w - 1)
+                    & (kpts2[:, 1] >= 0) & (kpts2[:, 1] <= h - 1)
+                )
+                kpts2 = kpts2[inb2]
+            kmap2 = np.zeros((h, w), np.float32)
+            if len(kpts2):
+                kmap2[
+                    kpts2[:, 1].round().astype(int), kpts2[:, 0].round().astype(int)
+                ] = 1.0
+            if conf.augmentation.photometric.enable:
+                image2 = self.parent.photo_aug(image2[..., None], rng)[..., 0]
+            pair = {
+                "image2": image2[..., None].astype(np.float32),
+                "keypoint_map2": kmap2,
+                "valid_mask2": (valid2 > 0.999).astype(np.float32),
+                "H_0to1": H2.astype(np.float32),
+            }
+
         if conf.augmentation.photometric.enable:
             image = self.parent.photo_aug(image[..., None], rng)[..., 0]
 
@@ -270,6 +303,7 @@ class _ShapesSplit:
             "valid_mask": (valid > 0.999).astype(np.float32),
             "is_optical": np.asarray(is_optical),
             "H_aug": H.astype(np.float32),
+            **pair,
         }
 
 
@@ -286,6 +320,9 @@ class SyntheticShapes(BaseDataset):
         "additional_ir_blur": True,
         "additional_ir_blur_size": 51,
         "max_keypoints": 128,
+        # also emit a warped second view (image2/keypoint_map2/valid_mask2/
+        # H_0to1) for paired detector+descriptor training
+        "warped_pair": False,
         "seed": 0,
         "augmentation": {
             "photometric": {"enable": True, "name": "dark"},

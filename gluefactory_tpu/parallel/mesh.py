@@ -59,9 +59,26 @@ def shard_batch(batch, mesh: Mesh, strict: bool = True):
             f"batch or pass strict=False to replicate instead"
         )
 
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # every process loads the IDENTICAL global batch (the datasets are
+        # deterministic in the sample index); each contributes its slice of
+        # the global array (reference counterpart: DistributedSampler +
+        # per-rank loaders, train.py:257-270)
+        rank = jax.process_index()
+        n_proc = jax.process_count()
+
     def put(x):
         if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == bs and bs % n == 0:
+            if multiproc:
+                x = np.asarray(x)
+                per = bs // n_proc
+                return jax.make_array_from_process_local_data(
+                    data_s, x[rank * per : (rank + 1) * per]
+                )
             return jax.device_put(x, data_s)
+        if multiproc:
+            return jax.make_array_from_process_local_data(repl, np.asarray(x))
         return jax.device_put(x, repl)
 
     return jax.tree.map(put, batch)

@@ -70,11 +70,23 @@ def make_train_step(model, tx: optax.GradientTransformation, grad_stats: bool = 
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-            pred = model.apply(variables, batch)
+                # thread BatchNorm batch-statistics updates (flax mutable
+                # collection); under the sharded jit the batch means are
+                # GLOBAL means (XLA inserts the collectives), so stats stay
+                # replica-consistent. Models in eval mode leave them as-is.
+                pred, mstate = model.apply(
+                    variables, batch, mutable=["batch_stats"]
+                )
+                new_stats = mstate.get("batch_stats", state.batch_stats)
+            else:
+                pred = model.apply(variables, batch)
+                new_stats = state.batch_stats
             losses, _ = model.apply(variables, pred, batch, method="loss")
-            return jnp.mean(losses["total"]), losses
+            return jnp.mean(losses["total"]), (losses, new_stats)
 
-        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
 
         # global NaN/Inf veto: any non-finite grad or loss anywhere on the
         # mesh skips the update everywhere (params stay in lockstep).
@@ -92,7 +104,10 @@ def make_train_step(model, tx: optax.GradientTransformation, grad_stats: bool = 
         new_state = TrainState(
             step=state.step + 1,
             params=keep(new_params, state.params),
-            batch_stats=state.batch_stats,
+            batch_stats=(
+                keep(new_stats, state.batch_stats) if state.batch_stats
+                else state.batch_stats
+            ),
             opt_state=keep(new_opt_state, state.opt_state),
         )
         losses = {k: jnp.mean(v) for k, v in losses.items()}

@@ -79,6 +79,10 @@ default_train_conf = {
     # tolerant grafting (strict=False counterpart): shape-matching leaves are
     # copied, the rest keep their fresh init with a warning.
     "load_experiment": None,
+    # tree prefix for load_experiment when the checkpoint is a submodule of
+    # this model (e.g. "extractor" seeds pipeline.extractor from a
+    # bare-detector run)
+    "load_experiment_prefix": None,
 }
 
 
@@ -153,7 +157,18 @@ class Trainer:
             src = str(conf.train.load_experiment)
             loaded, _ = load_checkpoint(get_best_checkpoint(src))
             loaded_params = loaded.get("params", loaded)
+            loaded_stats = loaded.get("batch_stats", {}) or {}
+            # re-root the loaded tree when seeding a submodule of a bigger
+            # model (e.g. a bare-detector checkpoint into pipeline.extractor)
+            prefix = conf.train.get("load_experiment_prefix")
+            if prefix:
+                for part in reversed(str(prefix).split("/")):
+                    loaded_params = {part: loaded_params}
+                    loaded_stats = {part: loaded_stats}
             params, n_copied, skipped = _graft_params(params, loaded_params)
+            if batch_stats and loaded_stats:
+                batch_stats, n_bs, _ = _graft_params(batch_stats, loaded_stats)
+                n_copied += n_bs
             logger.info(
                 "Fine-tune init from '%s': %d tensors copied%s",
                 src, n_copied,
@@ -184,22 +199,38 @@ class Trainer:
         step_fn = make_train_step(self.model, self.tx, grad_stats=grad_every > 0)
         self.train_step = jax.jit(step_fn, out_shardings=(repl, repl), donate_argnums=0)
 
-        self.eval_fn = jax.jit(self._eval_step)
-        self.pred_fn = jax.jit(self._pred_step)
-        self.writer = ExperimentWriter(self.output_dir) if self.output_dir else None
+        # replicated outputs: under multi-process runs every host must be
+        # able to fetch the metrics (sharded outputs span non-addressable
+        # devices and cannot be np.asarray'd)
+        repl = replicated(self.mesh)
+        self.eval_fn = jax.jit(self._eval_step, out_shardings=repl)
+        self.pred_fn = jax.jit(self._pred_step, out_shardings=repl)
+        # non-zero ranks of a multi-process run neither log summaries nor
+        # write checkpoints (reference: rank-0 guards, train.py:283-298)
+        self.is_main = jax.process_index() == 0
+        self.writer = (
+            ExperimentWriter(self.output_dir)
+            if (self.output_dir and self.is_main) else None
+        )
         return first_batch
 
     def _pred_step(self, state: TrainState, batch):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+            # batch-mode BatchNorm (training confs) writes batch_stats even
+            # in a forward pass; allow and DISCARD the update here
+            pred, _ = self.model.apply(variables, batch, mutable=["batch_stats"])
+            return pred
         return self.model.apply(variables, batch)
 
     def _eval_step(self, state: TrainState, batch):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        pred = self.model.apply(variables, batch)
+            pred, _ = self.model.apply(variables, batch, mutable=["batch_stats"])
+        else:
+            pred = self.model.apply(variables, batch)
         losses, metrics = self.model.apply(variables, pred, batch, method="loss")
         return losses, metrics
 
@@ -294,6 +325,8 @@ class Trainer:
     # ------------------------------------------------------------------ train
     def train(self):
         conf = self.conf.train
+        if self.output_dir and not getattr(self, "is_main", True):
+            self.output_dir = None  # rank>0: no artifacts
         if self.output_dir:
             self.output_dir.mkdir(parents=True, exist_ok=True)
             save_yaml(merge({}, self.conf), self.output_dir / "config.yaml")
@@ -303,9 +336,21 @@ class Trainer:
             if not src_dst.exists():
                 import shutil
 
+                def _copy(src, dst, *, follow_symlinks=True):
+                    # compiled caches can vanish between listdir and copy when
+                    # other processes import the package concurrently (e.g.
+                    # pytest-xdist workers); skip vanished files
+                    try:
+                        shutil.copy2(src, dst, follow_symlinks=follow_symlinks)
+                    except FileNotFoundError:
+                        pass
+
                 shutil.copytree(
                     Path(__file__).parent.parent, src_dst,
-                    ignore=shutil.ignore_patterns("__pycache__", "*.pyc", ".jax_cache"),
+                    ignore=shutil.ignore_patterns(
+                        "__pycache__", "*.pyc", ".jax_cache*", "outputs"
+                    ),
+                    copy_function=_copy, dirs_exist_ok=True,
                 )
 
         def on_sigint(signum, frame):
@@ -423,11 +468,13 @@ class Trainer:
                 logger.warning("Benchmark %s failed: %s", name, e)
 
     def _save(self, epoch, it_total, results=None, interrupted=False):
+        # every rank participates (the orbax write is collective); metadata
+        # and the best-copy happen on rank 0 only
         save_experiment(
             self.experiment, self.state, merge({}, self.conf), epoch, it_total,
             results=results, best_eval=self.best_eval,
             num_keep=self.conf.train.keep_last_checkpoints,
-            interrupted=interrupted,
+            interrupted=interrupted, is_main=getattr(self, "is_main", True),
         )
 
 

@@ -70,6 +70,7 @@ def save_experiment(
     is_best: bool = False,
     num_keep: int = 5,
     interrupted: bool = False,
+    is_main: bool = True,
 ) -> Path:
     """Write checkpoint_<epoch>_<iter> (+ checkpoint_best copy when is_best),
     prune old ones (reference save_experiment, experiments.py:95-134).
@@ -81,10 +82,19 @@ def save_experiment(
     dir_.mkdir(parents=True, exist_ok=True)
     suffix = "_interrupted" if interrupted else ""
     path = dir_ / f"checkpoint_{epoch}_{iter_i}{suffix}"
+    # the orbax write is a COLLECTIVE under jax.distributed (each process
+    # contributes its ocdbt shard and the finalize rendezvous needs everyone);
+    # only the metadata/best-copy/pruning below are rank-0 work
     ckptr = ocp.StandardCheckpointer()
     state_np = jax.tree.map(np.asarray, state)
     ckptr.save(path.absolute() / "state", state_np, force=True)
     ckptr.wait_until_finished()
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_{epoch}_{iter_i}")
+    if not is_main:
+        return path
     meta = {
         "conf": merge({}, conf),
         "epoch": epoch,
@@ -97,8 +107,10 @@ def save_experiment(
     if is_best:
         best = dir_ / "checkpoint_best"
         if best.exists():
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
+            shutil.rmtree(best, ignore_errors=True)
+        # dirs_exist_ok: two best-saves can target the same checkpoint path
+        # (eval-triggered + end-of-epoch with identical epoch/iter)
+        shutil.copytree(path, best, dirs_exist_ok=True)
     delete_old_checkpoints(dir_, num_keep)
     return path
 

@@ -191,3 +191,146 @@ class TestPairParallelMatching:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
+
+
+class TestDistributedTrainer:
+    def test_two_process_trainer_matches_single(self, tmp_path):
+        """VERDICT r2 #6: drive train/trainer.py itself under a real
+        2-process jax.distributed run — per-process batch shards
+        (make_array_from_process_local_data in shard_batch), rank-0-only
+        checkpointing — and assert the final parameters equal a
+        single-process run of the identical config."""
+        import os
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        repo = str(Path(__file__).resolve().parent.parent)
+        conf_py = textwrap.dedent(
+            """
+            CONF = {
+                "data": {
+                    "name": "homographies",
+                    "synthetic": {"do": True, "pool": 8, "size": [160, 120]},
+                    "train_size": 8,
+                    "val_size": 2,
+                    "train_batch_size": 4,
+                    "val_batch_size": 2,
+                    "num_workers": 0,
+                    "homography": {"patch_shape": [96, 80], "difficulty": 0.4},
+                },
+                "model": {
+                    "name": "two_view_pipeline",
+                    "extractor": {
+                        "name": "superpoint_open",
+                        "max_num_keypoints": 24,
+                        "detection_threshold": 0.0,
+                        "channels": [8, 8, 16, 16, 32],
+                        "descriptor_dim": 32,
+                        "trainable": False,
+                    },
+                    "matcher": {
+                        "name": "lightglue",
+                        "n_layers": 2,
+                        "descriptor_dim": 32,
+                        "input_dim": 32,
+                        "num_heads": 2,
+                        "is_training": True,
+                    },
+                    "ground_truth": {"name": "homography_matcher",
+                                     "th_positive": 3.0},
+                },
+                "train": {"seed": 0, "epochs": 1, "lr": 1e-3,
+                          "eval_every_iter": 1000, "save_every_iter": 1000,
+                          "log_every_iter": 1},
+            }
+            """
+        )
+        worker = tmp_path / "worker.py"
+        worker.write_text(conf_py + textwrap.dedent(
+            """
+            import sys
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            import numpy as np
+
+            sys.path.insert(0, sys.argv[4])
+            pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+            n_proc = int(sys.argv[5])
+            if n_proc > 1:
+                from gluefactory_tpu.parallel.distributed import init_distributed
+
+                ok = init_distributed(
+                    coordinator_address=f"localhost:{port}",
+                    num_processes=n_proc, process_id=pid,
+                )
+                assert ok and jax.process_count() == n_proc
+
+            from pathlib import Path
+            from gluefactory_tpu.train.trainer import Trainer
+
+            trainer = Trainer(
+                CONF, f"dist_tr_{n_proc}",
+                Path(out) / f"exp_{n_proc}" if pid == 0 else None,
+            )
+            trainer.build()
+            trainer.train()
+            if pid == 0:
+                leaves = jax.tree_util.tree_leaves_with_path(
+                    jax.tree.map(np.asarray, trainer.state.params)
+                )
+                np.savez(
+                    Path(out) / f"params_{n_proc}.npz",
+                    **{jax.tree_util.keystr(k): v for k, v in leaves},
+                )
+            if n_proc > 1:
+                # synchronized shutdown: rank 1 finishes before rank 0's
+                # checkpoint IO; exiting early trips the coordination-service
+                # shutdown barrier
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("trainer_done")
+            print("TRAIN_OK", pid)
+            """
+        ))
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        env = {
+            k: v for k, v in os.environ.items() if k != "XLA_FLAGS"
+        }
+        env["GLUEFACTORY_TPU_TRAINING"] = str(tmp_path / "training")
+        env["TF_ENABLE_ONEDNN_OPTS"] = "0"
+
+        def run(n_proc):
+            renv = dict(env)
+            if n_proc == 1:
+                # the reference run uses the SAME 2-device mesh via virtual
+                # devices, so the per-shard reduction order is identical and
+                # the only difference under test is the process boundary
+                renv["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, str(worker), str(i), str(port), str(tmp_path),
+                     repo, str(n_proc)],
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                    env=renv,
+                )
+                for i in range(n_proc)
+            ]
+            outs = [p.communicate(timeout=600)[0] for p in procs]
+            assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+            return outs
+
+        run(2)  # distributed
+        run(1)  # single-process reference
+
+        a = np.load(tmp_path / "params_2.npz")
+        b = np.load(tmp_path / "params_1.npz")
+        assert set(a.files) == set(b.files)
+        for k in a.files:
+            # identical mesh topology on both sides -> identical reduction
+            # order; only the process boundary differs
+            np.testing.assert_allclose(a[k], b[k], atol=1e-5, err_msg=k)

@@ -50,18 +50,28 @@ def hpatches_tree(tmp_path_factory):
     rng = np.random.RandomState(0)
     data_dir = tmp_path_factory.mktemp("data")
     root = data_dir / "hpatches-sequences-release"
-    h, w = 480, 640
     gt = {}
-    for scene in ("i_synth", "v_synth"):
+    # i_* scenes are ILLUMINATION-only like real HPatches: identity H +
+    # photometric jitter; v_* scenes are viewpoint warps. v_wide has a
+    # non-640x480 aspect to exercise the resize + pad-box path.
+    for scene, (h, w) in (
+        ("i_synth", (480, 640)), ("v_synth", (480, 640)), ("v_wide", (420, 700)),
+    ):
         sdir = root / scene
         sdir.mkdir(parents=True)
         base = _texture(rng, h, w)
         cv2.imwrite(str(sdir / "1.ppm"), base)
         for i in range(2, 7):
-            H = _random_homography(rng, h, w, mag=0.10 if scene[0] == "v" else 0.04)
-            warped = cv2.warpPerspective(base, H, (w, h), flags=cv2.INTER_LINEAR)
-            if scene[0] == "i":  # illumination scenes: same geometry-ish + gain
-                pass
+            if scene[0] == "i":
+                H = np.eye(3)
+                gain = rng.uniform(0.6, 1.4)
+                bias = rng.uniform(-25, 25)
+                warped = np.clip(
+                    base.astype(np.float32) * gain + bias, 0, 255
+                ).astype(np.uint8)
+            else:
+                H = _random_homography(rng, h, w, mag=0.10)
+                warped = cv2.warpPerspective(base, H, (w, h), flags=cv2.INTER_LINEAR)
             cv2.imwrite(str(sdir / f"{i}.ppm"), warped)
             np.savetxt(sdir / f"H_1_{i}", H)
             gt[f"{scene}/{i}"] = H
@@ -106,7 +116,7 @@ class TestHPatchesRealSchema:
         try:
             ds = hp_mod.HPatchesDataset({})
             split = ds.get_dataset("test")
-            assert len(split) == 2 * 5
+            assert len(split) == 3 * 5
             item = split[0]
             assert item["name"] == "i_synth/2"
             assert item["H_0to1"].shape == (3, 3)
