@@ -355,3 +355,69 @@ class TestRevisitop1mRealSchema:
             assert batch["H_0to1"].shape == (3, 3, 3)
         finally:
             hg_mod.DATA_PATH = old
+
+
+class TestHermeticQualityLoop:
+    """VERDICT r2 #3 floors: the hermetically-trained SP-open + LightGlue
+    chain (docs/hermetic_quality_loop.md; weights committed as a compact f16
+    artifact) must beat the same-detector NN baseline on the real-schema
+    HPatches benchmark."""
+
+    WEIGHTS = REPO / "weights" / "hermetic" / "sp_open_lg.npz"
+
+    @pytest.mark.skipif(
+        not (REPO / "weights" / "hermetic" / "sp_open_lg.npz").exists(),
+        reason="trained hermetic-loop weights missing",
+    )
+    def test_trained_chain_beats_nn_floors(self, hpatches_tree, tmp_path_factory):
+        import gluefactory_tpu.datasets.hpatches as hp_mod
+        from gluefactory_tpu.eval.hpatches import HPatchesPipeline
+
+        data_dir, _, _ = hpatches_tree
+        old = hp_mod.DATA_PATH
+        hp_mod.DATA_PATH = data_dir
+        try:
+            extractor = {
+                "name": "superpoint_open", "max_num_keypoints": 512,
+                "detection_threshold": 0.005, "dtype": None,
+            }
+            common = {
+                "data": {"preprocessing": {"resize": 480, "side": "short",
+                                           "pad_to": [864, 480]}},
+                "eval": {"ransac_th": 3.0},
+            }
+            out_root = tmp_path_factory.mktemp("hermetic")
+            lg_conf = {
+                **common,
+                "model": {"extractor": extractor,
+                          "matcher": {"name": "lightglue",
+                                      "filter_threshold": 0.0,
+                                      "collect_layers": False},
+                          "checkpoint": str(self.WEIGHTS)},
+            }
+            nn_conf = {
+                **common,
+                "model": {"extractor": extractor,
+                          "matcher": {"name": "nearest_neighbor_matcher",
+                                      "mutual_check": True},
+                          "checkpoint": str(self.WEIGHTS)},
+            }
+            s_lg, _, _ = HPatchesPipeline(lg_conf).run(out_root / "lg")
+            s_nn, _, _ = HPatchesPipeline(nn_conf).run(out_root / "nn")
+        finally:
+            hp_mod.DATA_PATH = old
+
+        # floors measured on the full 4-scene run (docs/hermetic_quality_loop.md):
+        # lg 0.69 prec / 293 matches / 0.62 px ransac err; nn 1.32 px.
+        # MEAN errors are dominated by the worst pair on a 15-pair fixture,
+        # so the comparative asserts use AUC-style metrics.
+        assert s_lg["mnum_matches"] > 100, s_lg
+        assert s_lg["mprec@3px"] > 0.4, s_lg
+        assert s_lg["H_error_ransac@3px"] > 0.3, s_lg
+        # the trained matcher must beat same-detector NN where match QUALITY
+        # shows: the direct DLT solve over all matches
+        assert s_lg["H_error_dlt@3px"] > s_nn["H_error_dlt@3px"], (s_lg, s_nn)
+        # and stay comparable after RANSAC (which rescues NN's outliers)
+        assert (
+            s_lg["H_error_ransac@3px"] >= s_nn["H_error_ransac@3px"] - 0.05
+        ), (s_lg, s_nn)
