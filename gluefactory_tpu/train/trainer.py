@@ -345,13 +345,19 @@ class Trainer:
                     except FileNotFoundError:
                         pass
 
-                shutil.copytree(
-                    Path(__file__).parent.parent, src_dst,
-                    ignore=shutil.ignore_patterns(
-                        "__pycache__", "*.pyc", ".jax_cache*", "outputs"
-                    ),
-                    copy_function=_copy, dirs_exist_ok=True,
-                )
+                try:
+                    shutil.copytree(
+                        Path(__file__).parent.parent, src_dst,
+                        ignore=shutil.ignore_patterns(
+                            "__pycache__", "*.pyc", ".jax_cache*", "outputs"
+                        ),
+                        copy_function=_copy, dirs_exist_ok=True,
+                    )
+                except shutil.Error as e:
+                    # copytree copies everything it can and raises the
+                    # collected per-entry errors at the END; races on
+                    # vanished cache dirs leave the source snapshot intact
+                    logger.warning("source snapshot: %d entries skipped", len(e.args[0]))
 
         def on_sigint(signum, frame):
             if self.stop_requested:

@@ -303,6 +303,12 @@ class TestDistributedTrainer:
         }
         env["GLUEFACTORY_TPU_TRAINING"] = str(tmp_path / "training")
         env["TF_ENABLE_ONEDNN_OPTS"] = "0"
+        # subprocesses don't run conftest: hand them the persistent XLA:CPU
+        # compile cache explicitly (cold compiles dominate this test's cost)
+        env["JAX_COMPILATION_CACHE_DIR"] = str(
+            Path(repo) / ".jax_cache_cpu"
+        )
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
 
         def run(n_proc):
             renv = dict(env)
