@@ -33,6 +33,7 @@ def get_model(name: str):
         f"{__name__}.extractors.{name}",
         f"{__name__}.matchers.{name}",
         f"{__name__}.lines.{name}",
+        f"{__name__}.backbones.{name}",
     ]
     for path in import_paths:
         try:

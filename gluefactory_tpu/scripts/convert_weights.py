@@ -347,6 +347,53 @@ def convert_aliked(state: dict) -> dict:
 
 
 # --------------------------------------------------------------------------- #
+# DINOv2 (HuggingFace Dinov2Model state dict; facebook/dinov2-{small,...})
+# --------------------------------------------------------------------------- #
+def convert_dinov2(state: dict) -> dict:
+    """HF Dinov2Model state dict -> our flax tree
+    (models/backbones/dinov2.py). The mask token (pretraining-only) is
+    dropped; LayerScale lambda1 maps to ls1/ls2."""
+    p: dict = {}
+
+    def lin(key):
+        return {
+            "kernel": np.asarray(state[f"{key}.weight"]).T,
+            "bias": np.asarray(state[f"{key}.bias"]),
+        }
+
+    w = np.asarray(state["embeddings.patch_embeddings.projection.weight"])
+    p["patch_embed"] = {
+        "kernel": w.transpose(2, 3, 1, 0),
+        "bias": np.asarray(state["embeddings.patch_embeddings.projection.bias"]),
+    }
+    p["cls_token"] = np.asarray(state["embeddings.cls_token"])
+    p["pos_embed"] = np.asarray(state["embeddings.position_embeddings"])
+
+    n_layers = 1 + max(
+        int(k.split(".")[2]) for k in state if k.startswith("encoder.layer.")
+    )
+    for i in range(n_layers):
+        pre = f"encoder.layer.{i}"
+        p[f"block_{i}"] = {
+            "norm1": {"scale": np.asarray(state[f"{pre}.norm1.weight"]),
+                      "bias": np.asarray(state[f"{pre}.norm1.bias"])},
+            "q": lin(f"{pre}.attention.attention.query"),
+            "k": lin(f"{pre}.attention.attention.key"),
+            "v": lin(f"{pre}.attention.attention.value"),
+            "proj": lin(f"{pre}.attention.output.dense"),
+            "ls1": np.asarray(state[f"{pre}.layer_scale1.lambda1"]),
+            "norm2": {"scale": np.asarray(state[f"{pre}.norm2.weight"]),
+                      "bias": np.asarray(state[f"{pre}.norm2.bias"])},
+            "fc1": lin(f"{pre}.mlp.fc1"),
+            "fc2": lin(f"{pre}.mlp.fc2"),
+            "ls2": np.asarray(state[f"{pre}.layer_scale2.lambda1"]),
+        }
+    p["norm"] = {"scale": np.asarray(state["layernorm.weight"]),
+                 "bias": np.asarray(state["layernorm.bias"])}
+    return {"params": p}
+
+
+# --------------------------------------------------------------------------- #
 # I/O
 # --------------------------------------------------------------------------- #
 def flatten_tree(tree: dict) -> dict:
@@ -374,7 +421,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--kind",
-        choices=["superpoint", "lightglue", "superglue", "gluestick", "aliked"],
+        choices=["superpoint", "lightglue", "superglue", "gluestick", "aliked", "dinov2"],
         required=True
     )
     parser.add_argument("--input", required=True)
@@ -397,6 +444,8 @@ def main():
         tree = convert_gluestick(state, args.n_layers, args.num_heads)
     elif args.kind == "aliked":
         tree = convert_aliked(state)
+    elif args.kind == "dinov2":
+        tree = convert_dinov2(state)
     else:
         state = rename_lightglue_v01(state, args.n_layers)
         tree = convert_lightglue(state, args.n_layers, args.num_heads)

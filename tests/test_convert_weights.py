@@ -1226,3 +1226,47 @@ class TestGlueStickOfficialWeights:
             {"params": jax.tree_util.tree_map(jnp.asarray, tree["params"])}, data
         )
         assert np.isfinite(np.asarray(pred["log_assignment"])).all()
+
+
+# --------------------------------------------------------------------------- #
+# DINOv2 converter parity (verified against the in-env transformers impl)
+# --------------------------------------------------------------------------- #
+
+
+class TestDinov2WeightParity:
+    def test_converted_forward_matches_transformers(self):
+        transformers = pytest.importorskip("transformers")
+        from gluefactory_tpu.scripts.convert_weights import convert_dinov2
+
+        cfg = transformers.Dinov2Config(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=2,
+            intermediate_size=256, patch_size=14, image_size=56,
+            layerscale_value=0.1, hidden_act="gelu",
+        )
+        torch.manual_seed(3)
+        hf = transformers.Dinov2Model(cfg).eval()
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        tree = convert_dinov2(sd)
+
+        rng = np.random.RandomState(4)
+        img = rng.rand(2, 56, 56, 3).astype(np.float32)
+        with torch.no_grad():
+            out = hf(torch.tensor(img.transpose(0, 3, 1, 2)))
+        t_hidden = out.last_hidden_state.numpy()  # (B, 1+16, 64)
+
+        model = get_model("dinov2").from_conf(
+            {"embed_dim": 64, "depth": 2, "num_heads": 2,
+             "pos_grid": cfg.image_size // cfg.patch_size, "patch_size": 14}
+        )
+        data = {"image": jnp.asarray(img)}
+        variables = model.init(jax.random.PRNGKey(0), data)
+        want = jax.tree_util.tree_map(lambda x: x.shape, variables["params"])
+        got_tree = {"params": jax.tree_util.tree_map(jnp.asarray, tree["params"])}
+        got = jax.tree_util.tree_map(lambda x: x.shape, got_tree["params"])
+        assert want == got, f"param tree mismatch:\n{want}\nvs\n{got}"
+
+        pred = model.apply(got_tree, data)
+        ours_cls = np.asarray(pred["global_descriptor"])
+        ours_patches = np.asarray(pred["features"]).reshape(2, -1, 64)
+        np.testing.assert_allclose(ours_cls, t_hidden[:, 0], atol=2e-4)
+        np.testing.assert_allclose(ours_patches, t_hidden[:, 1:], atol=2e-4)
