@@ -4,8 +4,17 @@ Counterpart of reference models/extractors/disk_kornia.py (kornia pretrained
 DISK wrapper, 120 LoC). kornia is unavailable here, so the architecture is
 implemented natively: a small U-Net producing a detection heatmap and
 128-d dense descriptors; keypoints by NMS + static top-k with validity
-mask, descriptors bilinearly sampled (the DISK inference path — the
-probabilistic training objective of the paper is out of scope).
+mask, descriptors bilinearly sampled.
+
+Unlike the reference wrapper (whose loss() raises, disk_kornia.py:107-108)
+this model is TRAINABLE hermetically: paired views run batch-concatenated
+through the U-Net (same convention as superpoint_open.py:319-444) and
+`loss()` supervises the heatmap with a pos-weighted BCE against a GT
+keypoint map plus the dense hinge descriptor loss across the pair's known
+homography (multipoint/utils/losses.py). The paper's REINFORCE objective is
+deliberately replaced — with GT correspondence available (synthetic warps)
+direct supervision is the stronger signal, and it makes the quality loop in
+tests/test_extractors.py (train → cross-warp NN matching floor) exact.
 """
 
 from __future__ import annotations
@@ -40,6 +49,13 @@ class DISK(BaseModel):
         "nms_radius": 2,
         "descriptor_dim": 128,
         "channels": [32, 64, 128],
+        "is_training": False,
+        "det_pos_weight": 50.0,  # BCE class-imbalance weight for keypoints
+        # full weight: unlike SuperPoint's 1e-4 convention the descriptors
+        # here are the matching signal being validated, and at init the dense
+        # hinge loss must push smooth U-Net outputs apart or they collapse
+        "desc_loss_weight": 1.0,
+        "cell": 8,  # descriptor-loss pooling cell
     }
     required_data_keys = ["image"]
 
@@ -48,6 +64,9 @@ class DISK(BaseModel):
         self.check_required_keys(data)
         conf = self.conf
         image = data["image"]
+        paired = conf.is_training and "image2" in data
+        if paired:
+            image = jnp.concatenate([image, data["image2"]], axis=0)
         if image.shape[-1] == 1:
             image = jnp.repeat(image, 3, -1)
         c1, c2, c3 = conf.channels
@@ -75,6 +94,15 @@ class DISK(BaseModel):
         dense = out[..., 1:]
         dense = dense / jnp.maximum(jnp.linalg.norm(dense, axis=-1, keepdims=True), 1e-8)
 
+        if paired:
+            bb = b // 2
+            return {
+                "heatmap": heatmap[:bb],
+                "heatmap2": heatmap[bb:],
+                "dense_descriptors": dense[:bb],
+                "dense_descriptors2": dense[bb:],
+            }
+
         nms = simple_nms(jax.nn.sigmoid(heatmap), conf.nms_radius)
         k = conf.max_num_keypoints
         topv, topi = jax.lax.top_k(nms.reshape(b, h * w), k)
@@ -95,7 +123,59 @@ class DISK(BaseModel):
         }
 
     def loss(self, pred, data):
-        raise NotImplementedError
+        """Supervised hermetic objective (reference wrapper raises here,
+        disk_kornia.py:107-108): pos-weighted per-pixel BCE of the heatmap
+        against a GT keypoint map for both views, plus the dense hinge
+        descriptor loss across the pair's known homography on cell-pooled
+        descriptors. Needs data: keypoint_map(2), valid_mask(2), H_0to1."""
+        from ...multipoint.utils.losses import descriptor_loss
+
+        conf = self.conf
+        pw = float(conf.det_pos_weight)
+
+        def det_bce(hm, gt, valid):
+            gt = gt.astype(jnp.float32)
+            per_px = -(
+                pw * gt * jax.nn.log_sigmoid(hm)
+                + (1.0 - gt) * jax.nn.log_sigmoid(-hm)
+            )
+            if valid is not None:
+                v = valid.astype(jnp.float32)
+                return (per_px * v).sum((-1, -2)) / jnp.maximum(v.sum((-1, -2)), 1.0)
+            return per_px.mean((-1, -2))
+
+        losses = {}
+        det = det_bce(pred["heatmap"], data["keypoint_map"], data.get("valid_mask"))
+        losses["detector_loss"] = det
+        total = det
+        if "heatmap2" in pred:
+            det2 = det_bce(
+                pred["heatmap2"], data["keypoint_map2"], data.get("valid_mask2")
+            )
+            losses["detector_loss2"] = det2
+            total = total + det2
+        if "dense_descriptors2" in pred:
+            cell = int(conf.cell)
+
+            def pool(d):
+                d = nn.avg_pool(d, (cell, cell), strides=(cell, cell))
+                return d * jax.lax.rsqrt(
+                    jnp.sum(d * d, -1, keepdims=True) + 1e-8
+                )
+
+            dl, pd, nd = descriptor_loss(
+                pool(pred["dense_descriptors"]),
+                pool(pred["dense_descriptors2"]),
+                data["H_0to1"],
+                data.get("valid_mask2"),
+                cell=cell,
+            )
+            losses["descriptor_loss"] = dl
+            losses["positive_dist"] = pd
+            losses["negative_dist"] = nd
+            total = total + conf.desc_loss_weight * dl
+        losses["total"] = total
+        return losses, {}
 
 
 __main_model__ = DISK

@@ -1,13 +1,21 @@
 """DeepLSD-style learned line detection.
 
-Counterpart of reference models/lines/deeplsd.py (pretrained DeepLSD net,
-113 LoC). The original downloads a checkpoint; here the ARCHITECTURE is
-native flax (U-Net predicting a line distance field + orientation field,
-DeepLSD's intermediate representation) and segment EXTRACTION runs on host:
-the predicted distance field gates a classical segment grower (cv2
-HoughLinesP over the thresholded field). With converted official weights the
-fields become meaningful; at random init this degrades to a learnable
-line-detection scaffold (training objective out of scope this round).
+Counterpart of reference models/lines/deeplsd.py (pretrained DeepLSD net
+wrapper, 113 LoC; the net itself lives in the external `deeplsd` package,
+reference deeplsd.py:1,35 — not vendored, so no weight converter is possible
+hermetically). Here the ARCHITECTURE is native flax (U-Net predicting a line
+distance field + orientation field, DeepLSD's intermediate representation)
+and segment EXTRACTION runs on host: the predicted distance field gates a
+classical segment grower (cv2 HoughLinesP over the thresholded field).
+
+Unlike the reference wrapper this model is TRAINABLE: `loss()` implements the
+DeepLSD paper's field supervision (normalized distance-field regression +
+proximity-weighted angular loss), and `gt_line_fields()` builds exact GT
+fields from known segments (e.g. SyntheticShapes lines or the C++ LSD
+output on real images — the paper's own GT source is LSD on homography
+warps). `tests/test_lines.py` closes the hermetic quality loop: overfit the
+fields on synthetic line images, then recover the segments through the full
+extraction path.
 
 Outputs match lines/lsd.py: lines (B, L, 2, 2), line_scores (B, L),
 line_mask (B, L).
@@ -43,6 +51,10 @@ class DeepLSD(BaseModel):
         "min_length": 15.0,
         "df_threshold": 1.5,  # px distance-field threshold for line support
         "channels": [16, 32, 64],
+        # training runs fully on device; the host segment grower is not
+        # differentiable/traceable, so training configs switch it off
+        "extract_segments": True,
+        "max_dist": 5.0,  # df normalization radius (paper's r in d/r)
     }
     required_data_keys = ["image"]
 
@@ -74,23 +86,84 @@ class DeepLSD(BaseModel):
         u1 = _DownBlock(c1)(up(u2, d1))
         head = nn.Conv(3, (1, 1))(u1)
         df = nn.relu(head[..., 0])  # line distance field (px)
-        angle = jnp.arctan2(head[..., 1], head[..., 2]) / 2  # orientation field
+        # (sin 2θ, cos 2θ) vector — angles live on the π-periodic circle.
+        # eps INSIDE the sqrt: linalg.norm has a NaN gradient at the zero
+        # vector even behind a maximum() guard (NaN * 0 = NaN in the VJP).
+        avec = head[..., 1:3]
+        avec = avec * jax.lax.rsqrt(jnp.sum(avec * avec, -1, keepdims=True) + 1e-8)
+        angle = jnp.arctan2(avec[..., 0], avec[..., 1]) / 2  # orientation field
 
+        out = {"df": df, "line_level": angle, "angle_vec": avec}
+        if not conf.extract_segments:
+            return out
         lines, scores, mask = _extract_segments_host(
             np.asarray(jax.lax.stop_gradient(df)),
             float(conf.df_threshold), int(conf.max_num_lines),
             float(conf.min_length),
         )
-        return {
-            "lines": jnp.asarray(lines),
-            "line_scores": jnp.asarray(scores),
-            "line_mask": jnp.asarray(mask),
-            "df": df,
-            "line_level": angle,
-        }
+        out.update(
+            lines=jnp.asarray(lines),
+            line_scores=jnp.asarray(scores),
+            line_mask=jnp.asarray(mask),
+        )
+        return out
 
     def loss(self, pred, data):
-        raise NotImplementedError
+        """DeepLSD field supervision (DeepLSD paper Sec. 3.2; GT fields from
+        `gt_line_fields`). L1 on the r-normalized clipped distance field plus
+        an angular loss on the doubled-angle unit vector, weighted toward
+        pixels near lines (w = 1 - d/r), which is where the orientation is
+        defined."""
+        r = float(self.conf.max_dist)
+        gt_df = jnp.minimum(data["gt_df"], r) / r
+        pred_df = jnp.minimum(pred["df"], r) / r
+        l_df = jnp.abs(pred_df - gt_df).mean(axis=(-1, -2))
+
+        gt_vec = jnp.stack(
+            [jnp.sin(2 * data["gt_angle"]), jnp.cos(2 * data["gt_angle"])], -1
+        )
+        w = jnp.maximum(0.0, 1.0 - gt_df)  # ~1 on lines, 0 beyond r
+        ang_err = jnp.square(pred["angle_vec"] - gt_vec).sum(-1)
+        l_angle = (w * ang_err).sum(axis=(-1, -2)) / jnp.maximum(
+            w.sum(axis=(-1, -2)), 1.0
+        )
+        total = l_df + l_angle
+        return {"total": total, "df": l_df, "angle": l_angle}, {}
+
+
+def gt_line_fields(
+    lines: np.ndarray, line_mask: np.ndarray, shape: tuple, max_dist: float = 5.0
+):
+    """Exact GT (distance field, angle field) from known segments.
+
+    lines (B, L, 2, 2) xy endpoints, line_mask (B, L) validity, shape (H, W).
+    Returns gt_df (B, H, W) point-to-segment distance (clipped at max_dist)
+    and gt_angle (B, H, W) orientation (mod π) of the nearest segment.
+    This is the supervision source the DeepLSD paper derives from LSD
+    detections; with SyntheticShapes the segments are known analytically.
+    """
+    h, w = shape
+    b, L = line_mask.shape
+    ys, xs = np.mgrid[0:h, 0:w]
+    p = np.stack([xs, ys], -1).reshape(-1, 2).astype(np.float32)  # (P, 2)
+    gt_df = np.full((b, h * w), max_dist, np.float32)
+    gt_angle = np.zeros((b, h * w), np.float32)
+    for i in range(b):
+        segs = lines[i][line_mask[i]]  # (l, 2, 2)
+        if len(segs) == 0:
+            continue
+        a, bb = segs[:, 0], segs[:, 1]  # (l, 2)
+        ab = bb - a
+        denom = np.maximum((ab * ab).sum(-1), 1e-8)  # (l,)
+        ap = p[:, None, :] - a[None, :, :]  # (P, l, 2)
+        t = np.clip((ap * ab[None]).sum(-1) / denom[None], 0.0, 1.0)
+        closest = a[None] + t[..., None] * ab[None]  # (P, l, 2)
+        d = np.linalg.norm(p[:, None] - closest, axis=-1)  # (P, l)
+        nearest = d.argmin(-1)
+        gt_df[i] = np.minimum(d[np.arange(len(p)), nearest], max_dist)
+        ang = np.arctan2(ab[:, 1], ab[:, 0]) % np.pi  # (l,)
+        gt_angle[i] = ang[nearest]
+    return gt_df.reshape(b, h, w), gt_angle.reshape(b, h, w)
 
 
 def _extract_segments_host(df: np.ndarray, th: float, max_lines: int, min_len: float):

@@ -180,7 +180,58 @@ class LoFTR(BaseModel):
         }
 
     def loss(self, pred, data):
-        raise NotImplementedError
+        """LoFTR coarse supervision: NLL of the dual-softmax matrix on GT
+        cell correspondences (LoFTR paper Sec. 3.4, the L_c term). The
+        reference wrapper (matchers/kornia_loftr.py) cannot train at all;
+        here GT comes from the pair's known homography via
+        `gt_coarse_assignment_from_H`. Needs data: gt_coarse_assignment."""
+        p = pred["coarse_matrix"]
+        gt = data["gt_coarse_assignment"].astype(jnp.float32)
+        nll = -(gt * jnp.log(p + 1e-6)).sum((-1, -2)) / jnp.maximum(
+            gt.sum((-1, -2)), 1.0
+        )
+        return {"total": nll, "coarse_nll": nll}, {}
+
+
+def gt_coarse_assignment_from_H(
+    shape0: tuple, shape1: tuple, H_0to1: jnp.ndarray, cell: int = 8,
+    threshold: float | None = None,
+):
+    """Binary (B, N0, N1) coarse-cell assignment: each view-0 cell center is
+    assigned to the view-1 cell CONTAINING its warp under H_0to1 (LoFTR's
+    rounded-grid supervision); pass `threshold` to additionally require the
+    warp within that many px of the view-1 cell center."""
+    from ...geometry.homography import warp_points
+
+    h0, w0 = shape0
+    h1, w1 = shape1
+    hc0, wc0 = h0 // cell, w0 // cell
+    hc1, wc1 = h1 // cell, w1 // cell
+
+    def grid(hc, wc):
+        ys, xs = jnp.meshgrid(
+            jnp.arange(hc, dtype=jnp.float32),
+            jnp.arange(wc, dtype=jnp.float32),
+            indexing="ij",
+        )
+        return jnp.stack([xs, ys], -1).reshape(-1, 2) * cell + cell / 2
+
+    c0 = grid(hc0, wc0)[None]  # (1, N0, 2)
+    c1 = grid(hc1, wc1)[None]  # (1, N1, 2)
+    b = H_0to1.shape[0]
+    warped = warp_points(jnp.broadcast_to(c0, (b,) + c0.shape[1:]), H_0to1)
+    d = jnp.linalg.norm(warped[:, :, None] - c1[:, None], axis=-1)
+    inb = (
+        (warped[..., 0] >= 0) & (warped[..., 0] <= w1 - 1)
+        & (warped[..., 1] >= 0) & (warped[..., 1] <= h1 - 1)
+    )
+    # one-hot on the nearest view-1 cell, gated by the distance threshold
+    nearest = jnp.argmin(d, axis=-1)
+    onehot = jax.nn.one_hot(nearest, d.shape[-1], dtype=jnp.float32)
+    near = inb
+    if threshold is not None:
+        near = near & (jnp.min(d, axis=-1) <= threshold)
+    return onehot * near[..., None].astype(jnp.float32)
 
 
 __main_model__ = LoFTR
