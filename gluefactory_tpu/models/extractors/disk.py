@@ -56,6 +56,13 @@ class DISK(BaseModel):
         # hinge loss must push smooth U-Net outputs apart or they collapse
         "desc_loss_weight": 1.0,
         "cell": 8,  # descriptor-loss pooling cell
+        # keypoint-sampled InfoNCE: supervises the exact inference-time
+        # descriptor function (bilinear sample + L2-normalize) at GT keypoint
+        # locations across the warp — the cell-pooled hinge loss alone
+        # converges without transferring to sampled descriptors (VERDICT r3)
+        "kp_desc_loss_weight": 1.0,
+        "kp_desc_num": 64,     # GT keypoints sampled per image
+        "kp_desc_temp": 10.0,  # inverse softmax temperature
     }
     required_data_keys = ["image"]
 
@@ -174,8 +181,62 @@ class DISK(BaseModel):
             losses["positive_dist"] = pd
             losses["negative_dist"] = nd
             total = total + conf.desc_loss_weight * dl
+
+            if conf.kp_desc_loss_weight > 0:
+                kl = self._kp_infonce(pred, data)
+                losses["kp_desc_loss"] = kl
+                total = total + conf.kp_desc_loss_weight * kl
         losses["total"] = total
         return losses, {}
+
+    def _kp_infonce(self, pred, data):
+        """Symmetric InfoNCE over descriptors bilinearly sampled at GT
+        keypoints (view 0) and their warps (view 1) — the same sampling +
+        L2-normalization the inference path applies to detected keypoints,
+        so the supervised quantity IS the evaluated quantity. GT positions
+        come from the binary keypoint_map (static top-k)."""
+        from ...geometry.homography import warp_points
+
+        conf = self.conf
+        km = data["keypoint_map"].astype(jnp.float32)
+        b, h, w = km.shape
+        k = int(conf.kp_desc_num)
+        val, idx = jax.lax.top_k(km.reshape(b, -1), k)
+        # +0.5 pixel-center, the inference keypoint convention (__call__)
+        kp = jnp.stack(
+            [(idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32)], -1
+        ) + 0.5
+        valid0 = val > 0.5
+        warped = warp_points(kp, data["H_0to1"])
+        inb = (
+            (warped[..., 0] >= 1.0) & (warped[..., 0] <= w - 2.0)
+            & (warped[..., 1] >= 1.0) & (warped[..., 1] <= h - 2.0)
+        )
+        valid = valid0 & inb  # (B, K)
+
+        def sample(dense, pts):
+            d = _bilinear_raw(dense, pts[..., 0], pts[..., 1])
+            return d * jax.lax.rsqrt(jnp.sum(d * d, -1, keepdims=True) + 1e-8)
+
+        d0 = sample(pred["dense_descriptors"], kp)
+        d1 = sample(pred["dense_descriptors2"], warped)
+        sim = jnp.einsum(
+            "bkd,bqd->bkq", d0, d1, preferred_element_type=jnp.float32
+        ) * float(conf.kp_desc_temp)
+        # mask out invalid counterparts; the diagonal (the positive) stays
+        neg_inf = -1e9
+        col_mask = jnp.where(valid[:, None, :], 0.0, neg_inf)
+        row_mask = jnp.where(valid[:, :, None], 0.0, neg_inf)
+        eye = jnp.eye(k)[None]
+        nll01 = -jnp.sum(
+            jax.nn.log_softmax(sim + col_mask * (1 - eye), axis=2) * eye, axis=2
+        )
+        nll10 = -jnp.sum(
+            jax.nn.log_softmax(sim + row_mask * (1 - eye), axis=1) * eye, axis=1
+        )
+        per_kp = 0.5 * (nll01 + nll10)
+        vf = valid.astype(jnp.float32)
+        return (per_kp * vf).sum(-1) / jnp.maximum(vf.sum(-1), 1.0)
 
 
 __main_model__ = DISK

@@ -96,16 +96,24 @@ class DeepLSD(BaseModel):
         out = {"df": df, "line_level": angle, "angle_vec": avec}
         if not conf.extract_segments:
             return out
-        lines, scores, mask = _extract_segments_host(
-            np.asarray(jax.lax.stop_gradient(df)),
-            float(conf.df_threshold), int(conf.max_num_lines),
-            float(conf.min_length),
+        # host segment grower behind pure_callback with static output shapes
+        # (same pattern as sift.py's host extraction) so the default
+        # inference path stays jit-traceable (ADVICE r3)
+        L = int(conf.max_num_lines)
+        lines, scores, mask = jax.pure_callback(
+            lambda d: _extract_segments_host(
+                np.asarray(d), float(conf.df_threshold), L,
+                float(conf.min_length),
+            ),
+            (
+                jax.ShapeDtypeStruct((b, L, 2, 2), jnp.float32),
+                jax.ShapeDtypeStruct((b, L), jnp.float32),
+                jax.ShapeDtypeStruct((b, L), jnp.bool_),
+            ),
+            jax.lax.stop_gradient(df),
+            vmap_method="sequential",
         )
-        out.update(
-            lines=jnp.asarray(lines),
-            line_scores=jnp.asarray(scores),
-            line_mask=jnp.asarray(mask),
-        )
+        out.update(lines=lines, line_scores=scores, line_mask=mask)
         return out
 
     def loss(self, pred, data):

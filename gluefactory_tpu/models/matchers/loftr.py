@@ -217,21 +217,25 @@ def gt_coarse_assignment_from_H(
         return jnp.stack([xs, ys], -1).reshape(-1, 2) * cell + cell / 2
 
     c0 = grid(hc0, wc0)[None]  # (1, N0, 2)
-    c1 = grid(hc1, wc1)[None]  # (1, N1, 2)
     b = H_0to1.shape[0]
     warped = warp_points(jnp.broadcast_to(c0, (b,) + c0.shape[1:]), H_0to1)
-    d = jnp.linalg.norm(warped[:, :, None] - c1[:, None], axis=-1)
-    inb = (
-        (warped[..., 0] >= 0) & (warped[..., 0] <= w1 - 1)
-        & (warped[..., 1] >= 0) & (warped[..., 1] <= h1 - 1)
-    )
-    # one-hot on the nearest view-1 cell, gated by the distance threshold
-    nearest = jnp.argmin(d, axis=-1)
-    onehot = jax.nn.one_hot(nearest, d.shape[-1], dtype=jnp.float32)
-    near = inb
+    # containing cell via floor(warped / cell), with an explicit in-GRID
+    # check (ADVICE r3: nearest-center only equals containing-cell on a
+    # full-coverage grid; warps in the uncovered margin of non-divisible
+    # image dims must be dropped, not snapped to an edge cell)
+    cx = jnp.floor(warped[..., 0] / cell).astype(jnp.int32)
+    cy = jnp.floor(warped[..., 1] / cell).astype(jnp.int32)
+    ingrid = (cx >= 0) & (cx < wc1) & (cy >= 0) & (cy < hc1)
+    idx = jnp.clip(cy, 0, hc1 - 1) * wc1 + jnp.clip(cx, 0, wc1 - 1)
+    onehot = jax.nn.one_hot(idx, hc1 * wc1, dtype=jnp.float32)
+    keep = ingrid
     if threshold is not None:
-        near = near & (jnp.min(d, axis=-1) <= threshold)
-    return onehot * near[..., None].astype(jnp.float32)
+        c1 = grid(hc1, wc1)[None]  # (1, N1, 2)
+        center = jnp.take_along_axis(
+            jnp.broadcast_to(c1, (b,) + c1.shape[1:]), idx[..., None], axis=1
+        )
+        keep = keep & (jnp.linalg.norm(warped - center, axis=-1) <= threshold)
+    return onehot * keep[..., None].astype(jnp.float32)
 
 
 __main_model__ = LoFTR

