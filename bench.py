@@ -100,7 +100,7 @@ def main():
     # without waiting, so we time with a forced scalar fetch. A single fetch
     # after N dispatches is enough: device execution is in-order, so the last
     # result transfers only after all N executions completed.
-    def run(pipe_obj, v, d, n_iters=20):
+    def run(pipe_obj, v, d, n_iters=20, batch=BATCH):
         def fwd_scalar(v, d):
             out = pipe_obj.apply(v, d)
             return out["matching_scores0"].sum() + out["keypoints0"].sum()
@@ -113,18 +113,13 @@ def main():
             out = fwd(v, d)
         float(out)  # forces completion of the whole in-order queue
         dt = time.perf_counter() - t0
-        return BATCH * n_iters / dt
+        return batch * n_iters / dt
 
     pairs_per_s = run(pipe, variables, data)
-
-    # adaptive-inference variant (depth_confidence as the reference ships it,
-    # lightglue.py:346): same weights; random-init confidence heads exit
-    # early on these synthetic images, which is the point of the measurement
-    # — the adaptive path's *overhead/benefit* envelope on real hardware.
-    pipe_ad = make_pipe(depth_confidence=0.95, width_confidence=0.99)
-    pairs_per_s_ad = run(pipe_ad, variables, data)
-
     mfu = (analytic_flops_per_pair() * pairs_per_s) / (PEAK_TFLOPS * 1e12)
+
+    extra = {"mfu_analytic": round(mfu, 4)}
+    extra["adaptive"] = adaptive_bench(jax, jnp, make_pipe, run)
 
     print(
         json.dumps(
@@ -138,13 +133,78 @@ def main():
                 "value": round(pairs_per_s, 2),
                 "unit": "image pairs/s/chip",
                 "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
-                "extra": {
-                    "mfu_analytic": round(mfu, 4),
-                    "adaptive_pairs_per_s": round(pairs_per_s_ad, 2),
-                },
+                "extra": extra,
             }
         )
     )
+
+
+def adaptive_bench(jax, jnp, make_pipe, run):
+    """Adaptive inference with the TRAINED confidence heads (VERDICT r3 #2):
+    loads the committed hermetic chain (weights/hermetic/sp_open_lg.npz —
+    stage-2 calibrated retraining, scripts/train_calibrated_lg.py) and runs
+    it on easy low-warp synthetic pairs, the regime the reference's early
+    exit targets (lightglue.py:586-606). Reports plain vs adaptive at b8 and
+    b1 plus the exit layer actually taken, so the trained-head exit is
+    demonstrated, not assumed. Random-init heads sit at sigmoid~0.5 and
+    never exit (the r1-r3 adaptive numbers measured pure overhead)."""
+    import numpy as np
+
+    wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "weights", "hermetic", "sp_open_lg.npz")
+    if not os.path.exists(wpath):
+        return {"skipped": "no trained artifact"}
+    from gluefactory_tpu.datasets import get_dataset
+    from gluefactory_tpu.models.matchers.lightglue_pretrained import (
+        load_npz_params,
+    )
+
+    ds = get_dataset("homographies")({
+        "synthetic": {"do": True, "pool": BATCH, "size": [W, H]},
+        "train_size": BATCH, "val_size": 1, "num_workers": 0,
+        "homography": {"patch_shape": [W, H], "difficulty": 0.15,
+                       "translation": 0.05, "max_angle": 8},
+    })
+    split = ds.get_dataset("train")
+    items = [split[i] for i in range(BATCH)]
+    data = {
+        v: {"image": jnp.asarray(np.stack([it[v]["image"] for it in items])),
+            "image_size": jnp.asarray([[W * 1.0, H * 1.0]] * BATCH)}
+        for v in ("view0", "view1")
+    }
+
+    pipe = make_pipe()
+    variables = pipe.init(jax.random.PRNGKey(0), data)
+    restored = load_npz_params(wpath)
+    restored = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.float16 else x, restored
+    )
+    params = dict(variables["params"])
+    for k in params:
+        if k in restored["params"]:
+            params[k] = restored["params"][k]
+    variables = {**variables, "params": params}
+    if restored.get("batch_stats"):
+        variables = {**variables, "batch_stats": restored["batch_stats"]}
+
+    pipe_ad = make_pipe(depth_confidence=0.95, width_confidence=0.99)
+    out_ad = jax.jit(lambda v, d: pipe_ad.apply(v, d))(variables, data)
+    data1 = {k: {kk: vv[:1] for kk, vv in v.items()} for k, v in data.items()}
+    out_ad1 = jax.jit(lambda v, d: pipe_ad.apply(v, d))(variables, data1)
+
+    return {
+        "trained_heads": True,
+        "exit_layer_b8": int(np.asarray(out_ad["stop_layer"])),
+        "exit_layer_b1": int(np.asarray(out_ad1["stop_layer"])),
+        "n_layers": 9,
+        "matches_mean_b8": round(
+            float((np.asarray(out_ad["matches0"]) >= 0).sum(1).mean()), 1
+        ),
+        "b8_plain": round(run(pipe, variables, data), 2),
+        "b8_adaptive": round(run(pipe_ad, variables, data), 2),
+        "b1_plain": round(run(pipe, variables, data1, batch=1), 2),
+        "b1_adaptive": round(run(pipe_ad, variables, data1, batch=1), 2),
+    }
 
 
 if __name__ == "__main__":

@@ -206,7 +206,6 @@ def make_distributed_ba_step(mesh, axis: str = "data"):
     replicates cameras; the landmark count must divide the mesh size.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     def step(R, t, X, cam_idx, uv, valid, K_mat, lm_lambda):
         problem = BAProblem(R, t, X, cam_idx, uv, valid, K_mat)
@@ -222,14 +221,15 @@ def make_distributed_ba_step(mesh, axis: str = "data"):
         R_new = jnp.einsum("cij,cjk->cik", dR, R, precision=_HI)
         return R_new, t + d_cam[:, 3:], X + d_pts
 
-    return shard_map(
+    # jax.shard_map (stable API; jax.experimental.shard_map is deprecated)
+    return jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(
             P(), P(), P(axis), P(axis), P(axis), P(axis), P(), P(),
         ),
         out_specs=(P(), P(), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
 
 

@@ -1,0 +1,133 @@
+"""Stage-3 of the hermetic quality loop: depth-supervised fine-tuning.
+
+The reference's flagship recipe is homography pretrain -> MegaDepth finetune
+with pose+depth ground truth (/root/reference/README.md:221-252,
+configs/superpoint+lightglue_megadepth.yaml; the GT path is
+gluefactory/geometry/gt_generation.py:14-106). MegaDepth cannot be
+downloaded here, so this driver runs the same WORKFLOW hermetically
+(VERDICT r3 missing #1): fine-tune the committed homography-trained
+SP-open+LightGlue chain on `synthetic_two_view` 3D scenes — exact cameras,
+relative poses and dense depth — with `depth_matcher` GT
+(gt_matches_from_pose_depth) inside the standard Trainer, then compare pose
+AUC on the `synthetic_pose` benchmark (the MegaDepth-1500 protocol) against
+the homography-only checkpoint.
+
+    PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/train_depth_finetune.py
+    PYTHONPATH="/root/repo:$PYTHONPATH" python scripts/train_depth_finetune.py --eval
+"""
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+EXPERIMENT = "sp_open_lg_depth"
+
+CONF = {
+    "data": {
+        "name": "synthetic_two_view",
+        "image_size": [480, 368],  # same shape the homography stages used
+        "train_size": 512,
+        "val_size": 32,
+        "train_batch_size": 4,
+        "val_batch_size": 4,
+        "num_workers": 2,
+        "seed": 3,
+    },
+    "model": {
+        "name": "two_view_pipeline",
+        "extractor": {
+            "name": "superpoint_open",
+            "max_num_keypoints": 512,
+            "detection_threshold": 0.005,
+            "dtype": None,
+            "trainable": False,
+        },
+        "matcher": {
+            "name": "lightglue",
+            "filter_threshold": 0.1,
+            "checkpointed": True,
+            "is_training": True,
+        },
+        # the reference megadepth recipe's GT model
+        # (configs/superpoint+lightglue_megadepth.yaml ground_truth)
+        "ground_truth": {
+            "name": "depth_matcher",
+            "th_positive": 3.0,
+            "th_negative": 5.0,
+            "th_epi": 5.0,
+        },
+    },
+    "train": {
+        "seed": 13,
+        "epochs": 6,
+        "lr": 5.0e-5,
+        "lr_schedule": {"type": "exp", "start": 400, "exp_div_10": 1200},
+        "eval_every_iter": 256,
+        "save_every_iter": 128,
+        "log_every_iter": 25,
+        "keep_last_checkpoints": 2,
+        "best_key": "loss/total",
+    },
+}
+
+
+def main():
+    from gluefactory_tpu.train.trainer import Trainer
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    from train_calibrated_lg import graft_npz
+
+    out = REPO / "outputs" / "training" / EXPERIMENT
+    trainer = Trainer(CONF, EXPERIMENT, out)
+    trainer.build()
+    graft_npz(trainer, REPO / "weights" / "hermetic" / "sp_open_lg.npz")
+    trainer.train()
+
+
+def evaluate():
+    """synthetic_pose AUC of the depth-finetuned chain vs the
+    homography-only chain (identical protocol, same 20 held-out scenes)."""
+    import json
+
+    from gluefactory_tpu.eval.synthetic_pose import SyntheticPosePipeline
+    from gluefactory_tpu.utils.experiments import get_best_checkpoint
+
+    extractor = {
+        "name": "superpoint_open", "max_num_keypoints": 512,
+        "detection_threshold": 0.005, "dtype": None,
+    }
+    common = {
+        "data": {"image_size": [640, 480], "test_size": 20},
+        "eval": {"ransac_th": 1.0},
+    }
+    runs = {
+        "homography_only": str(REPO / "weights" / "hermetic" / "sp_open_lg.npz"),
+        "depth_finetuned": str(get_best_checkpoint(EXPERIMENT) and EXPERIMENT),
+    }
+    out_root = REPO / "outputs" / "eval_depth_ft"
+    results = {}
+    for tag, ckpt in runs.items():
+        conf = {
+            **common,
+            "model": {
+                "extractor": extractor,
+                "matcher": {"name": "lightglue", "filter_threshold": 0.1,
+                            "collect_layers": False},
+                "checkpoint": ckpt,
+            },
+        }
+        s, _, _ = SyntheticPosePipeline(conf).run(
+            out_root / tag, overwrite=True, overwrite_eval=True
+        )
+        results[tag] = s
+        print(tag, json.dumps(s))
+    return results
+
+
+if __name__ == "__main__":
+    if "--eval" in sys.argv:
+        evaluate()
+    else:
+        main()
