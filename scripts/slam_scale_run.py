@@ -1,0 +1,306 @@
+"""SLAM at scale: 120-keyframe loop trajectory on the 8-device mesh.
+
+VERDICT r3 next #8 — the SURVEY §7.7 scaling story, exercised: a long
+synthetic loop trajectory through `sfm/slam.py` (incremental odometry:
+NN matching -> batched E-RANSAC -> monocular scale -> triangulation ->
+windowed Schur BA), with LOOP CLOSURE detection batched across the mesh via
+`parallel/pair_matching.py` (the pair axis = the mesh data axis, the same
+sharding used for training) and drift correction by the jitted pose-graph
+optimizer (`sfm/pose_graph.py`). Reports keyframes/s, closures found, and
+ATE before/after pose-graph correction.
+
+Run (8 virtual devices, same mesh the tests use):
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/slam_scale_run.py [--frames 120]
+
+The reduced floor-asserting variant lives in
+tests/test_slam.py::TestSlamLoopClosureScale.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def make_loop_sequence(rng, n_frames=120, n_pts=2500, radius=8.0, obs_noise=0.35):
+    """Camera travelling a closed circle inside a ring-shaped landmark cloud,
+    yaw following the path; the final frames revisit the start pose. Oracle
+    features: exact projections + per-landmark unit descriptors (the run
+    validates the GEOMETRY/scaling stack, not a detector)."""
+    import numpy as np
+
+    from gluefactory_tpu.geometry.wrappers import Camera
+
+    f, cx, cy = 420.0, 240.0, 180.0
+    cam = Camera.from_params(480, 360, f, f, cx, cy)
+    # landmarks on a ring of radius ~2x the path, various heights
+    ang = rng.uniform(0, 2 * np.pi, n_pts)
+    rad = rng.uniform(radius * 1.6, radius * 2.6, n_pts)
+    X = np.stack(
+        [rad * np.cos(ang), rng.uniform(-2.5, 2.5, n_pts), rad * np.sin(ang)], -1
+    )
+    desc = rng.randn(n_pts, 64).astype("float32")
+    desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+
+    frames, poses = [], []
+    for i in range(n_frames):
+        th = 2 * np.pi * i / n_frames
+        center = np.array([radius * np.cos(th), 0.0, radius * np.sin(th)])
+        # look outward (toward the ring) along the radial direction
+        fwd = np.array([np.cos(th), 0.0, np.sin(th)])
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        R = np.stack([right, up, fwd], 0)  # world->cam rows
+        t = -R @ center
+        p_cam = X @ R.T + t
+        z = p_cam[:, 2]
+        uv = p_cam[:, :2] / np.maximum(z[:, None], 1e-6) * f + np.array([cx, cy])
+        vis = (z > 1.0) & (uv[:, 0] >= 0) & (uv[:, 0] < 480) & (uv[:, 1] >= 0) & (
+            uv[:, 1] < 360
+        )
+        uv_noisy = (uv + rng.randn(n_pts, 2) * obs_noise).astype("float32")
+        frames.append((uv_noisy, vis))
+        poses.append((R, t))
+    return cam, desc, frames, poses
+
+
+class LoopClosingSlam:
+    """IncrementalSlam + mesh-batched loop-closure detection + pose-graph
+    correction. The closure matcher runs `nearest_neighbor_matcher` over a
+    BATCH of (old keyframe, current keyframe) pairs sharded across the mesh
+    (parallel/pair_matching.py) — one device per candidate pair."""
+
+    def __init__(self, cam, conf=None):
+        import numpy as np
+
+        from gluefactory_tpu.models import get_model
+        from gluefactory_tpu.parallel.mesh import make_mesh
+        from gluefactory_tpu.parallel.pair_matching import make_pair_matcher
+        from gluefactory_tpu.sfm.slam import IncrementalSlam, Keyframe
+
+        conf = conf or {}
+
+        def odo_matcher(prev: Keyframe, kpts, desc, mask):
+            sim = prev.desc @ desc.T
+            m0 = sim.argmax(1)
+            m1 = sim.argmax(0)
+            mutual = m1[m0] == np.arange(len(m0))
+            good = mutual & (sim.max(1) > 0.9) & prev.mask & mask[m0]
+            return np.where(good, m0, -1)
+
+        self.slam = IncrementalSlam(
+            cam, odo_matcher,
+            {"ba_window": conf.get("ba_window", 6),
+             "ba_every": conf.get("ba_every", 4)},
+        )
+        self.cam = cam
+        self.mesh = make_mesh()
+        nn = get_model("nearest_neighbor_matcher").from_conf({"mutual_check": True})
+        self.match_pairs = make_pair_matcher(nn, {}, self.mesh)
+        self.min_gap = conf.get("closure_min_gap", 25)
+        self.closure_every = conf.get("closure_every", 4)
+        self.min_matches = conf.get("closure_min_matches", 64)
+        self.closures = []  # (i, j, R_ij, t_ij)
+        self.pair_matches_checked = 0
+
+    def _closure_candidates(self, cur_idx):
+        import numpy as np
+
+        n = self.mesh.devices.size
+        old = [k for k in range(cur_idx - self.min_gap)]
+        if len(old) < n:
+            return None
+        # uniform sample of n old keyframes (mesh-width batch)
+        return list(np.linspace(0, len(old) - 1, n).astype(int))
+
+    def _detect_closures(self, kf):
+        import jax.numpy as jnp
+        import numpy as np
+
+        cands = self._closure_candidates(kf.idx)
+        if cands is None:
+            return
+        kfs = self.slam.state.keyframes
+        batch = {
+            "descriptors0": jnp.asarray(np.stack([kfs[c].desc for c in cands])),
+            "descriptors1": jnp.asarray(
+                np.broadcast_to(kf.desc, (len(cands),) + kf.desc.shape)
+            ),
+            "keypoints0": jnp.asarray(np.stack([kfs[c].kpts for c in cands])),
+            "keypoints1": jnp.asarray(
+                np.broadcast_to(kf.kpts, (len(cands),) + kf.kpts.shape)
+            ),
+            "keypoint_mask0": jnp.asarray(np.stack([kfs[c].mask for c in cands])),
+            "keypoint_mask1": jnp.asarray(
+                np.broadcast_to(kf.mask, (len(cands),) + kf.mask.shape)
+            ),
+        }
+        pred = self.match_pairs(batch)
+        # the pair axis really is sharded across the mesh
+        n_dev = len({s.device for s in pred["matches0"].addressable_shards})
+        assert n_dev == self.mesh.devices.size, n_dev
+        m0 = np.asarray(pred["matches0"])
+        self.pair_matches_checked += len(cands)
+        for row, c in enumerate(cands):
+            good = m0[row] >= 0
+            if good.sum() < self.min_matches:
+                continue
+            edge = self._closure_edge(kfs[c], kf, np.where(good)[0], m0[row][good])
+            if edge is not None:
+                self.closures.append((c, kf.idx) + edge)
+
+    def _closure_edge(self, kf_i, kf_j, idx_i, idx_j):
+        """Relative pose i->j: E-RANSAC rotation + translation direction,
+        scale resolved against the map depths of kf_i's tracked landmarks."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gluefactory_tpu.estimators.ransac import ransac_relative_pose_jit
+
+        cam = self.cam
+        p0 = kf_i.kpts[idx_i]
+        p1 = kf_j.kpts[idx_j]
+        p0n = np.asarray(cam.normalize(jnp.asarray(p0[None])))[0]
+        p1n = np.asarray(cam.normalize(jnp.asarray(p1[None])))[0]
+        f_mean = float(np.mean(np.asarray(cam.f)))
+        pad = -(-len(p0n) // 256) * 256 - len(p0n)
+        res = ransac_relative_pose_jit(
+            jnp.asarray(np.pad(p0n, ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(p1n, ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(np.ones(len(p0n), bool), (0, pad))),
+            jax.random.PRNGKey(kf_j.idx * 1000 + kf_i.idx),
+            th=jnp.float32(1.0 / f_mean),
+        )
+        inl = np.asarray(res.inliers)[: len(p0n)]
+        if inl.sum() < 24:
+            return None
+        R_rel, t_unit = np.asarray(res.R), np.asarray(res.t)
+
+        # scale from map landmarks tracked in kf_i: depth(map in kf_i) vs
+        # triangulated depth under (R_rel, t_unit)
+        tracks_i = self.slam._kp_to_track[kf_i.idx]
+        from gluefactory_tpu.sfm.triangulation import triangulate_dlt
+
+        sel = [k for k, kp in enumerate(idx_i) if int(kp) in tracks_i]
+        if len(sel) < 8:
+            return None
+        sel = np.asarray(sel)
+        Xi = np.stack(
+            [self.slam.state.X[tracks_i[int(idx_i[k])]] for k in sel]
+        )
+        depth_map = (Xi @ kf_i.R.T + kf_i.t)[:, 2]
+        # triangulate each point from the 2 views (frame i = identity), so
+        # the returned points live in frame i and X[:, 2] is its depth there
+        P = len(sel)
+        rays = np.stack([p0n[sel], p1n[sel]], axis=1)  # (P, 2, 2)
+        R2 = np.broadcast_to(
+            np.stack([np.eye(3), R_rel], 0), (P, 2, 3, 3)
+        )
+        t2 = np.broadcast_to(np.stack([np.zeros(3), t_unit], 0), (P, 2, 3))
+        X_tri = np.asarray(
+            triangulate_dlt(
+                jnp.asarray(rays), jnp.asarray(R2), jnp.asarray(t2),
+                jnp.ones((P, 2), bool),
+            )
+        )
+        depth_tri = X_tri[:, 2]
+        ok = (depth_tri > 1e-3) & (depth_map > 1e-3)
+        if ok.sum() < 8:
+            return None
+        scale = float(np.median(depth_map[ok] / depth_tri[ok]))
+        if not (1e-2 < scale < 1e2):
+            return None
+        return (R_rel, t_unit * scale)
+
+    def add_keyframe(self, uv, desc_bank, vis):
+        kf = self.slam.add_keyframe(uv, desc_bank, vis)
+        if kf.idx > 0 and kf.idx % self.closure_every == 0:
+            self._detect_closures(kf)
+        return kf
+
+    def optimize(self, iterations=25):
+        """Pose graph: odometry edges between consecutive keyframes (from the
+        current estimates) + the detected closure edges (measured)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gluefactory_tpu.sfm.pose_graph import PoseGraph, optimize_pose_graph
+
+        kfs = self.slam.state.keyframes
+        N = len(kfs)
+        R = np.stack([k.R for k in kfs])
+        t = np.stack([k.t for k in kfs])
+        edges, R_ij, t_ij, w = [], [], [], []
+        for i in range(N - 1):
+            Rr = R[i + 1] @ R[i].T
+            tr = t[i + 1] - Rr @ t[i]
+            edges.append((i, i + 1))
+            R_ij.append(Rr)
+            t_ij.append(tr)
+            w.append(1.0)
+        for (i, j, Rr, tr) in self.closures:
+            edges.append((i, j))
+            R_ij.append(Rr)
+            t_ij.append(tr)
+            w.append(2.0)
+        graph = PoseGraph(
+            R=jnp.asarray(R), t=jnp.asarray(t),
+            edges=jnp.asarray(np.asarray(edges, np.int32)),
+            R_ij=jnp.asarray(np.stack(R_ij)), t_ij=jnp.asarray(np.stack(t_ij)),
+            weight=jnp.asarray(np.asarray(w, np.float32)),
+        )
+        graph, cost = optimize_pose_graph(graph, iterations=iterations)
+        R_opt = np.asarray(graph.R)
+        t_opt = np.asarray(graph.t)
+        for k, kf in enumerate(kfs):
+            kf.R, kf.t = R_opt[k], t_opt[k]
+        return float(cost)
+
+
+def run(n_frames=120, seed=0, verbose=True):
+    import numpy as np
+
+    from gluefactory_tpu.sfm.metrics import camera_centers
+
+    rng = np.random.RandomState(seed)
+    cam, desc_bank, frames, poses = make_loop_sequence(rng, n_frames=n_frames)
+    slam = LoopClosingSlam(cam)
+
+    t0 = time.time()
+    for uv, vis in frames:
+        slam.add_keyframe(uv, desc_bank, vis)
+    dt = time.time() - t0
+
+    gt_centers = camera_centers(
+        np.stack([R for R, _ in poses]), np.stack([t for _, t in poses])
+    )
+    ate_before = slam.slam.evaluate_ate(gt_centers)["ate_rmse"]
+    n_closures = len(slam.closures)
+    slam.optimize()
+    ate_after = slam.slam.evaluate_ate(gt_centers)["ate_rmse"]
+    stats = {
+        "n_keyframes": n_frames,
+        "keyframes_per_s": round(n_frames / dt, 2),
+        "n_landmarks": len(slam.slam.state.X),
+        "closures_found": n_closures,
+        "pairs_checked_on_mesh": slam.pair_matches_checked,
+        "mesh_devices": int(slam.mesh.devices.size),
+        "ate_before_pg": round(ate_before, 4),
+        "ate_after_pg": round(ate_after, 4),
+    }
+    if verbose:
+        print(stats)
+    return stats
+
+
+if __name__ == "__main__":
+    nf = 120
+    if "--frames" in sys.argv:
+        nf = int(sys.argv[sys.argv.index("--frames") + 1])
+    run(n_frames=nf)

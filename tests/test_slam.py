@@ -65,3 +65,27 @@ class TestIncrementalSlam:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
+
+
+class TestSlamLoopClosureScale:
+    """VERDICT r3 next #8 floor (reduced): the loop-closing SLAM scale run
+    (scripts/slam_scale_run.py) on a 60-keyframe closed loop — mesh-batched
+    closure matching (pair axis sharded over the 8 virtual devices, asserted
+    inside the run), pose-graph drift correction. The full 120-keyframe
+    report lives in docs/slam_scale.md."""
+
+    @pytest.mark.slow
+    def test_loop_closes_and_pg_reduces_ate(self):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+        import slam_scale_run
+
+        stats = slam_scale_run.run(n_frames=60, verbose=False)
+        assert stats["mesh_devices"] == 8
+        assert stats["closures_found"] >= 1, stats
+        assert stats["n_landmarks"] > 1000, stats
+        # pose graph must reduce the accumulated drift
+        assert stats["ate_after_pg"] < stats["ate_before_pg"], stats
+        assert stats["ate_after_pg"] < 0.08, stats
