@@ -365,3 +365,44 @@ class TestDepthSupervisedTraining:
         first = np.mean([l["assignment_nll"] for l in losses_seen[:n_it]])
         last = np.mean([l["assignment_nll"] for l in losses_seen[-n_it:]])
         assert last < 0.8 * first, (first, last)
+
+
+class TestDepthFinetuneFloors:
+    """VERDICT r3 next #3 floors: the committed depth-finetuned artifact
+    (scripts/train_depth_finetune.py, the hermetic MegaDepth-recipe
+    analogue) must beat the homography-only artifact on the synthetic_pose
+    benchmark (MegaDepth-1500 protocol). Full-scale numbers (20 pairs,
+    640x480, on-chip): mAA 0.247 -> 0.374, median pose err 29.3 -> 5.9 deg
+    (docs/hermetic_quality_loop.md). This reduced deterministic config
+    measured 0.164 -> 0.187 mAA and 0.411 -> 0.472 inlier rate."""
+
+    W = Path(__file__).resolve().parent.parent / "weights" / "hermetic"
+
+    @pytest.mark.slow
+    @pytest.mark.skipif(
+        not (Path(__file__).resolve().parent.parent / "weights" / "hermetic"
+             / "sp_open_lg_depth.npz").exists(),
+        reason="depth-finetuned artifact missing",
+    )
+    def test_depth_finetune_beats_homography_only(self, tmp_path):
+        from gluefactory_tpu.eval.synthetic_pose import SyntheticPosePipeline
+
+        extractor = {"name": "superpoint_open", "max_num_keypoints": 384,
+                     "detection_threshold": 0.005, "dtype": None}
+        common = {"data": {"image_size": [480, 368], "test_size": 10},
+                  "eval": {"ransac_th": 1.0}}
+        out = {}
+        for tag, ck in (("homog", self.W / "sp_open_lg.npz"),
+                        ("depth", self.W / "sp_open_lg_depth.npz")):
+            conf = {**common, "model": {
+                "extractor": extractor,
+                "matcher": {"name": "lightglue", "filter_threshold": 0.1,
+                            "collect_layers": False},
+                "checkpoint": str(ck)}}
+            s, _, _ = SyntheticPosePipeline(conf).run(tmp_path / tag)
+            out[tag] = s
+        h, d = out["homog"], out["depth"]
+        assert d["rel_pose_error_mAA"] > h["rel_pose_error_mAA"] + 0.01, (h, d)
+        assert d["mransac_inl%"] > h["mransac_inl%"] + 0.02, (h, d)
+        assert d["mepi_prec@1e-3"] >= h["mepi_prec@1e-3"], (h, d)
+        assert d["rel_pose_error_mAA"] > 0.17, d
