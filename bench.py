@@ -156,7 +156,7 @@ def adaptive_bench(jax, jnp, make_pipe, run):
         return {"skipped": "no trained artifact"}
     from gluefactory_tpu.datasets import get_dataset
     from gluefactory_tpu.models.matchers.lightglue_pretrained import (
-        load_npz_params,
+        overlay_npz_variables,
     )
 
     ds = get_dataset("homographies")({
@@ -175,17 +175,7 @@ def adaptive_bench(jax, jnp, make_pipe, run):
 
     pipe = make_pipe()
     variables = pipe.init(jax.random.PRNGKey(0), data)
-    restored = load_npz_params(wpath)
-    restored = jax.tree.map(
-        lambda x: x.astype(jnp.float32) if x.dtype == jnp.float16 else x, restored
-    )
-    params = dict(variables["params"])
-    for k in params:
-        if k in restored["params"]:
-            params[k] = restored["params"][k]
-    variables = {**variables, "params": params}
-    if restored.get("batch_stats"):
-        variables = {**variables, "batch_stats": restored["batch_stats"]}
+    variables = overlay_npz_variables(variables, wpath)
 
     pipe_ad = make_pipe(depth_confidence=0.95, width_confidence=0.99)
     out_ad = jax.jit(lambda v, d: pipe_ad.apply(v, d))(variables, data)

@@ -66,24 +66,16 @@ def make_export_apply_fn(model_conf: dict, live_params=None):
         if state["variables"] is None:
             variables = pipe.init(jax.random.PRNGKey(0), dev)
             if checkpoint:
-                # overlay trained params from an experiment checkpoint
-                # (matcher-only training stores params under the same
-                # component names the eval pipeline uses)
+                # overlay trained params from an experiment checkpoint or a
+                # flat f16 .npz artifact (matcher-only training stores params
+                # under the same component names the eval pipeline uses)
+                from ..models.matchers.lightglue_pretrained import (
+                    overlay_npz_variables,
+                    overlay_restored_variables,
+                )
+
                 if str(checkpoint).endswith(".npz"):
-                    # flat 'params/...' (+ 'batch_stats/...') npz artifact
-                    # (scripts/hermetic_quality_loop.py --dump-weights)
-                    from ..models.matchers.lightglue_pretrained import (
-                        load_npz_params,
-                    )
-
-                    restored = load_npz_params(checkpoint)
-                    import jax.numpy as _jnp
-
-                    restored = jax.tree.map(
-                        lambda x: x.astype(_jnp.float32)
-                        if x.dtype == _jnp.float16 else x,
-                        restored,
-                    )
+                    variables = overlay_npz_variables(variables, checkpoint)
                 else:
                     from ..utils.experiments import (
                         get_best_checkpoint,
@@ -97,21 +89,7 @@ def make_export_apply_fn(model_conf: dict, live_params=None):
 
                         path = get_last_checkpoint(checkpoint)
                     restored, _ = load_checkpoint(path)
-                trained = restored["params"]
-                params = dict(variables["params"])
-                for k in params:
-                    if k in trained:
-                        params[k] = trained[k]
-                variables = {**variables, "params": params}
-                # BatchNorm running statistics travel with the checkpoint
-                # (a trained BN extractor is wrong without them)
-                t_stats = restored.get("batch_stats") or {}
-                if t_stats:
-                    stats = dict(variables.get("batch_stats", {}))
-                    for k in set(stats) | set(t_stats):
-                        if k in t_stats:
-                            stats[k] = t_stats[k]
-                    variables = {**variables, "batch_stats": stats}
+                    variables = overlay_restored_variables(variables, restored)
             if live_params is not None and "params" in variables:
                 import jax as _jax
 

@@ -201,7 +201,13 @@ class DISK(BaseModel):
         km = data["keypoint_map"].astype(jnp.float32)
         b, h, w = km.shape
         k = int(conf.kp_desc_num)
-        val, idx = jax.lax.top_k(km.reshape(b, -1), k)
+        # deterministic per-pixel jitter breaks top_k's raster-order ties:
+        # without it, images with > kp_desc_num keypoints would supervise
+        # the same top-of-image subset every step (spatial bias); with it
+        # the selected subset is a spatially-uniform pseudo-random draw
+        pix = jnp.arange(h * w, dtype=jnp.float32)
+        jitter = 0.5 + 0.5 * jnp.sin(pix * 12.9898 + 78.233)  # in (0, 1)
+        val, idx = jax.lax.top_k(km.reshape(b, -1) * (1.0 + jitter)[None], k)
         # +0.5 pixel-center, the inference keypoint convention (__call__)
         kp = jnp.stack(
             [(idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32)], -1

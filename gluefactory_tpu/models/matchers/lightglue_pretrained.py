@@ -31,6 +31,42 @@ def load_npz_params(path: str | Path) -> dict:
     return tree
 
 
+def overlay_restored_variables(variables: dict, restored: dict) -> dict:
+    """Overlay a restored {params, batch_stats?} tree onto freshly-
+    initialized flax variables: top-level param components replaced by name,
+    BatchNorm running stats carried with the checkpoint (a trained BN
+    extractor is wrong without them). The single shared implementation for
+    bench.py and the eval export path."""
+    trained = restored.get("params", restored)
+    params = dict(variables["params"])
+    for k in params:
+        if k in trained:
+            params[k] = trained[k]
+    out = {**variables, "params": params}
+    t_stats = restored.get("batch_stats") or {}
+    if t_stats:
+        stats = dict(variables.get("batch_stats", {}))
+        for k in set(stats) | set(t_stats):
+            if k in t_stats:
+                stats[k] = t_stats[k]
+        out["batch_stats"] = stats
+    return out
+
+
+def overlay_npz_variables(variables: dict, path: str | Path) -> dict:
+    """Overlay a flat f16 .npz artifact (hermetic_quality_loop
+    --dump-weights format): f16 leaves upcast to f32, then
+    overlay_restored_variables."""
+    import jax
+
+    restored = load_npz_params(path)
+    restored = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.float16 else x,
+        restored,
+    )
+    return overlay_restored_variables(variables, restored)
+
+
 class LightGluePretrained(LightGlue):
     default_conf = {
         "name": "lightglue_pretrained",

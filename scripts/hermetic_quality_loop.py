@@ -94,7 +94,7 @@ def main():
             "data": common_data,
             "model": {
                 "extractor": extractor,
-                "matcher": {"name": "lightglue", "filter_threshold": 0.0,
+                "matcher": {"name": "lightglue", "filter_threshold": 0.1,  # reference default (r4 calibrated chain works here)
                             "collect_layers": False},
                 "checkpoint": "sp_open_lg",
             },

@@ -187,7 +187,12 @@ class LoopClosingSlam:
         tracks_i = self.slam._kp_to_track[kf_i.idx]
         from gluefactory_tpu.sfm.triangulation import triangulate_dlt
 
-        sel = [k for k, kp in enumerate(idx_i) if int(kp) in tracks_i]
+        # restrict the depth-ratio sample to E-RANSAC INLIERS: outlier
+        # correspondences triangulate to arbitrary depths and would corrupt
+        # the median scale of a double-weighted closure edge
+        sel = [
+            k for k, kp in enumerate(idx_i) if inl[k] and int(kp) in tracks_i
+        ]
         if len(sel) < 8:
             return None
         sel = np.asarray(sel)

@@ -102,9 +102,10 @@ def evaluate():
         "data": {"image_size": [640, 480], "test_size": 20},
         "eval": {"ransac_th": 1.0},
     }
+    get_best_checkpoint(EXPERIMENT)  # raises early if the finetune is absent
     runs = {
         "homography_only": str(REPO / "weights" / "hermetic" / "sp_open_lg.npz"),
-        "depth_finetuned": str(get_best_checkpoint(EXPERIMENT) and EXPERIMENT),
+        "depth_finetuned": EXPERIMENT,
     }
     out_root = REPO / "outputs" / "eval_depth_ft"
     results = {}

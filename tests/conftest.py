@@ -44,11 +44,22 @@ def _cpu_fingerprint():
     return platform.machine()
 
 
-jax.config.update(
-    "jax_compilation_cache_dir",
-    str(Path(__file__).parent.parent / f".jax_cache_cpu_{_cpu_fingerprint()}"),
-)
+_CACHE_BASE = Path(__file__).parent.parent / f".jax_cache_cpu_{_cpu_fingerprint()}"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE_BASE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def pytest_configure(config):
+    # per-xdist-worker cache dirs: two workers sharing one dir crash on
+    # concurrent executable reads (faulthandler shows the worker dying
+    # inside compilation_cache.get_executable_and_time; seen as
+    # "[gwN] node down" on three separate suite runs). Worker ids are
+    # stable (gw0, gw1, ...), so each worker's cache stays warm across runs.
+    worker = getattr(config, "workerinput", {}).get("workerid")
+    if worker:
+        jax.config.update(
+            "jax_compilation_cache_dir", f"{_CACHE_BASE}_{worker}"
+        )
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
