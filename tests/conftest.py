@@ -8,13 +8,11 @@ JAX_PLATFORMS env var — so we must force CPU through jax.config here, before
 any backend is initialized."""
 
 import os
-from pathlib import Path
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 # silence XLA:CPU AOT-cache machine-feature chatter (harmless, very loud)
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
@@ -22,44 +20,19 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent XLA:CPU compilation cache: warm reruns of the suite skip most
-# compile time (~3x on compile-heavy tests); safe to delete anytime.
-# Keyed by a CPU-feature fingerprint: XLA:CPU AOT blobs compiled on a
-# different host load with "machine feature not supported ... SIGILL"
-# errors (seen as xdist worker crashes, VERDICT r3 weak #1c).
-
-
-def _cpu_fingerprint():
-    import hashlib
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    import platform
-
-    return platform.machine()
-
-
-_CACHE_BASE = Path(__file__).parent.parent / f".jax_cache_cpu_{_cpu_fingerprint()}"
-jax.config.update("jax_compilation_cache_dir", str(_CACHE_BASE))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-
-def pytest_configure(config):
-    # per-xdist-worker cache dirs: two workers sharing one dir crash on
-    # concurrent executable reads (faulthandler shows the worker dying
-    # inside compilation_cache.get_executable_and_time; seen as
-    # "[gwN] node down" on three separate suite runs). Worker ids are
-    # stable (gw0, gw1, ...), so each worker's cache stays warm across runs.
-    worker = getattr(config, "workerinput", {}).get("workerid")
-    if worker:
-        jax.config.update(
-            "jax_compilation_cache_dir", f"{_CACHE_BASE}_{worker}"
-        )
+# The persistent XLA:CPU compilation cache is DISABLED for the suite: on
+# this host, deserializing cached executables intermittently SEGFAULTS the
+# process (faulthandler stacks end in compilation_cache
+# get/put_executable_and_time; observed in five separate `-n 2` suite runs
+# across three different test files, surfacing as "[gwN] node down").
+# Mitigations tried and insufficient: CPU-fingerprinted cache dirs
+# (cross-host blobs), per-xdist-worker dirs (concurrent access), and
+# --xla_cpu_max_isa=AVX512 (AMX XSTATE permission theory) — the crash
+# reproduced with all three, on freshly-written same-process entries.
+# NOTE: this must be set HERE, before any compilation: jax latches
+# cache-enablement per process on first use (compilation_cache.is_cache_used
+# caches its verdict), so a later disable is a silent no-op.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -210,12 +210,10 @@ class TestHPatchesCLI:
             if p and "axon" not in p
         ]
         env["PYTHONPATH"] = os.pathsep.join([str(REPO)] + extra_path)
-        # share the suite's CPU-fingerprinted persistent compile cache: the
-        # subprocess otherwise cold-compiles everything (~2 min of the test)
-        import jax
-
-        env["JAX_COMPILATION_CACHE_DIR"] = str(jax.config.jax_compilation_cache_dir)
-        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+        # NO persistent compile cache for the subprocess: executable
+        # (de)serialization intermittently segfaults on this host (see the
+        # conftest note); unset dir = cache off
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
         cmd = [
             sys.executable, "-m", "gluefactory_tpu.eval.hpatches",
             "--tag", "cli_test",

@@ -15,19 +15,6 @@ from gluefactory_tpu.train.step import TrainState, make_optimizer, make_train_st
 from gluefactory_tpu.train.trainer import Trainer, batch_to_device
 
 
-@pytest.fixture(scope="module", autouse=True)
-def _no_persistent_compile_cache():
-    """The big donated-buffer trainer executables intermittently SEGFAULT
-    inside the persistent compile cache's (de)serialization under long-lived
-    xdist workers (faulthandler: compilation_cache.put_executable_and_time /
-    get_executable_and_time — three separate suite runs, always around this
-    file's tests). Compiling fresh is ~seconds here; skip the cache."""
-    old = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    yield
-    jax.config.update("jax_enable_compilation_cache", old)
-
-
 def tiny_conf(tmpdir):
     return {
         "data": {
