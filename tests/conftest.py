@@ -45,6 +45,19 @@ def _assert_cpu_backend():
     yield
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _lean_worker():
+    """Drop compiled-executable caches at module boundaries. Long-lived
+    xdist workers accumulate hundreds of XLA:CPU JIT executables across test
+    modules; the rare worker segfaults on this host always strike a heavy
+    compile late in a worker's life (plain backend_compile_and_load — not
+    the persistent cache, which is already disabled). Cross-module
+    executable reuse is minimal, so this costs little and keeps the LLVM
+    JIT state small."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
