@@ -203,11 +203,18 @@ class DISK(BaseModel):
         k = int(conf.kp_desc_num)
         # deterministic per-pixel jitter breaks top_k's raster-order ties:
         # without it, images with > kp_desc_num keypoints would supervise
-        # the same top-of-image subset every step (spatial bias); with it
-        # the selected subset is a spatially-uniform pseudo-random draw
+        # the same top-of-image subset every step (spatial bias). The phase
+        # folds in the per-batch warp so the selected subset ROTATES across
+        # training steps (each batch draws a fresh homography), giving full
+        # GT coverage over an epoch rather than a fixed spatial pattern.
         pix = jnp.arange(h * w, dtype=jnp.float32)
-        jitter = 0.5 + 0.5 * jnp.sin(pix * 12.9898 + 78.233)  # in (0, 1)
-        val, idx = jax.lax.top_k(km.reshape(b, -1) * (1.0 + jitter)[None], k)
+        phase = jnp.sum(
+            data["H_0to1"].reshape(b, -1).astype(jnp.float32) * 37.719, -1
+        )
+        jitter = 0.5 + 0.5 * jnp.sin(
+            pix[None] * 12.9898 + 78.233 + phase[:, None]
+        )  # in (0, 1)
+        val, idx = jax.lax.top_k(km.reshape(b, -1) * (1.0 + jitter), k)
         # +0.5 pixel-center, the inference keypoint convention (__call__)
         kp = jnp.stack(
             [(idx % w).astype(jnp.float32), (idx // w).astype(jnp.float32)], -1

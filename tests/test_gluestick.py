@@ -255,6 +255,11 @@ if __name__ == "__main__":
 
 
 # ------------------------------------------------- hermetic quality loop (r4)
+@pytest.mark.skipif(
+    not (Path(__file__).resolve().parent.parent / "weights" / "hermetic"
+         / "sp_open_lg.npz").exists(),
+    reason="hermetic sp_open_lg.npz weights artifact not present",
+)
 class TestGlueStickQualityLoop:
     """VERDICT r3 next #7 — the ETH3D AP_lines role, hermetic: train
     GlueStick on wireframe features (committed hermetic SP-open descriptors +

@@ -207,7 +207,7 @@ class TestHPatchesCLI:
         # run hermetically on CPU, not contend for a chip)
         extra_path = [
             p for p in env.get("PYTHONPATH", "").split(os.pathsep)
-            if p and "axon" not in p
+            if p and Path(p).name != ".axon_site"
         ]
         env["PYTHONPATH"] = os.pathsep.join([str(REPO)] + extra_path)
         # NO persistent compile cache for the subprocess: executable
@@ -548,3 +548,208 @@ class TestHermeticQualityLoop:
         assert s_lg["mnum_matches"] > 100, s_lg
         assert s_lg["H_error_ransac@3px"] > 0.45, s_lg
         assert s_lg["H_error_dlt@3px"] > s_nn["H_error_dlt@3px"], (s_lg, s_nn)
+
+
+# ------------------------------------------------------------------- eth3d
+def _eth3d_plane_scene(rng, n_pts=4000):
+    """Synthetic ETH3D scene: a textured plane z=0 (world X in [0,4] m,
+    Y in [0,3] m) observed by 4 DSLR-like cameras at z=-5. Camera windows
+    overlap partially, so covisibility-based pair selection has both
+    accepted and rejected pairs. Returns per-camera renders, 1/8-res depth
+    maps, COLMAP-text calibration, and the expected covisibility matrix."""
+    w, h, f = 640, 480, 1600.0
+    ppm = 160.0  # texture pixels per metre
+    tex = _texture(rng, int(3 * ppm), int(4 * ppm))
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float64)
+
+    def yaw(deg):
+        a = np.deg2rad(deg)
+        return np.array(
+            [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+        )
+
+    centers = [(1.0, 1.5), (1.4, 1.5), (1.8, 1.5), (3.0, 1.5)]
+    rots = [np.eye(3), yaw(3.0), np.eye(3), yaw(-2.0)]
+
+    pts3d = np.c_[
+        rng.uniform(0, 4, n_pts), rng.uniform(0, 3, n_pts), np.zeros(n_pts)
+    ]
+
+    cams = []
+    for (cx, cy), R in zip(centers, rots):
+        c = np.array([cx, cy, -5.0])
+        t = -R @ c
+        # world-plane -> image homography: K [r1 r2 t] diag(1/ppm, 1/ppm, 1)
+        H = K @ np.c_[R[:, 0], R[:, 1], t] @ np.diag([1 / ppm, 1 / ppm, 1.0])
+        img = cv2.warpPerspective(tex, H.astype(np.float64), (w, h))
+        # 1/8-res depth by ray-plane intersection (z=0): depth = lam with
+        # point_cam = lam * K^-1 [u,v,1]
+        lw, lh = w // 8, h // 8
+        Kl = K.copy()
+        Kl[:2] /= 8.0
+        uu, vv = np.meshgrid(np.arange(lw) + 0.5, np.arange(lh) + 0.5)
+        rays = np.linalg.inv(Kl) @ np.stack(
+            [uu.ravel(), vv.ravel(), np.ones(uu.size)]
+        )
+        dirs_w = R.T @ rays
+        lam = -c[2] / dirs_w[2]
+        depth = lam.reshape(lh, lw).astype(np.float32)
+        # visibility of the 3D points in this view
+        Xc = (R @ pts3d.T + t[:, None])
+        uvw = K @ Xc
+        uv = uvw[:2] / uvw[2]
+        vis = (
+            (uvw[2] > 0) & (uv[0] >= 0) & (uv[0] < w) & (uv[1] >= 0) & (uv[1] < h)
+        )
+        cams.append({"R": R, "t": t, "img": img, "depth": depth,
+                     "uv": uv.T, "vis": vis})
+
+    covis = np.zeros((4, 4), int)
+    for i in range(4):
+        for j in range(4):
+            covis[i, j] = int((cams[i]["vis"] & cams[j]["vis"]).sum())
+    return cams, K, pts3d, covis
+
+
+def _rotmat2qvec(R):
+    w = np.sqrt(max(0.0, 1 + R[0, 0] + R[1, 1] + R[2, 2])) / 2
+    x = (R[2, 1] - R[1, 2]) / (4 * w)
+    y = (R[0, 2] - R[2, 0]) / (4 * w)
+    z = (R[1, 0] - R[0, 1]) / (4 * w)
+    return np.array([w, x, y, z])
+
+
+@pytest.fixture(scope="module")
+def eth3d_tree(tmp_path_factory):
+    """DATA_PATH/ETH3D_undistorted/<scene>/ with the REAL package layout the
+    reference consumes (gluefactory/datasets/eth3d.py:92-133): undistorted
+    images, 1/8-res uint16 depth (px = depth*256), and COLMAP-text
+    calibration with per-image visible POINT3D ids."""
+    rng = np.random.RandomState(17)
+    data_dir = tmp_path_factory.mktemp("eth3d_data")
+    scene = data_dir / "ETH3D_undistorted" / "courtyard"
+    img_dir = scene / "images" / "dslr_images_undistorted"
+    depth_dir = scene / "ground_truth_depth" / "undistorted_depth"
+    calib = scene / "dslr_calibration_undistorted"
+    for d in (img_dir, depth_dir, calib):
+        d.mkdir(parents=True)
+
+    cams, K, pts3d, covis = _eth3d_plane_scene(rng)
+
+    cam_lines = [
+        "# Camera list with one line of data per camera:",
+        "#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]",
+        "# Number of cameras: 2",
+    ]
+    # two identical physical cameras (exercises id-keyed lookup)
+    for cid in (0, 1):
+        cam_lines.append(
+            f"{cid} PINHOLE 640 480 {K[0, 0]:.6f} {K[1, 1]:.6f} "
+            f"{K[0, 2]:.6f} {K[1, 2]:.6f}"
+        )
+    (calib / "cameras.txt").write_text("\n".join(cam_lines) + "\n")
+
+    img_lines = [
+        "# Image list with two lines of data per image:",
+        "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME",
+        "#   POINTS2D[] as (X, Y, POINT3D_ID)",
+        "# Number of images: 4",
+    ]
+    for i, cam in enumerate(cams):
+        name = f"DSC_{i:04d}.JPG"
+        cv2.imwrite(str(img_dir / name), cam["img"])
+        cv2.imwrite(
+            str(depth_dir / f"DSC_{i:04d}.png"),
+            np.clip(cam["depth"] * 256.0, 0, 65535).astype(np.uint16),
+        )
+        q = _rotmat2qvec(cam["R"])
+        t = cam["t"]
+        cam_id = 1 if i == 3 else 0
+        img_lines.append(
+            f"{i} {q[0]:.9f} {q[1]:.9f} {q[2]:.9f} {q[3]:.9f} "
+            f"{t[0]:.9f} {t[1]:.9f} {t[2]:.9f} {cam_id} {name}"
+        )
+        trips = []
+        idxs = np.where(cam["vis"])[0]
+        for pid in idxs:
+            u, v = cam["uv"][pid]
+            trips.append(f"{u:.3f} {v:.3f} {pid}")
+        img_lines.append(" ".join(trips))
+    (calib / "images.txt").write_text("\n".join(img_lines) + "\n")
+    return data_dir, covis
+
+
+class TestETH3DRealSchema:
+    def test_covisibility_pair_selection(self, eth3d_tree):
+        """The COLMAP parser + covisibility selection path
+        (gluefactory_tpu/datasets/eth3d.py) against the ground-truth
+        covisibility matrix computed directly from the 3D points."""
+        import gluefactory_tpu.datasets.eth3d as eth_mod
+        from gluefactory_tpu.datasets import get_dataset
+
+        data_dir, covis = eth3d_tree
+        old = eth_mod.DATA_PATH
+        eth_mod.DATA_PATH = data_dir
+        try:
+            ds = get_dataset("eth3d")(
+                {"min_covisibility": 500, "downsize_factor": 4}
+            )
+            got = {(a, b): n for (_, a, b, n) in ds.items}
+            want = {
+                (a, b): covis[a, b]
+                for a in range(4)
+                for b in range(a + 1, 4)
+                if covis[a, b] >= 500
+            }
+            assert got == want
+            # the threshold must actually split the 6 candidate pairs
+            assert 0 < len(want) < 6, covis
+
+            # a sample: geometry keys, depth present, image downsized by 4
+            item = ds.get_dataset("test")[0]
+            assert item["view0"]["image"].shape[0] == 480 // 4
+            assert item["view0"]["depth"].shape == item["view0"]["image"].shape[:2]
+            # fronto-parallel-ish plane at z=5 seen from z=-5: depth ~ 5
+            d = item["view0"]["depth"]
+            assert 4.5 < float(np.median(d[d > 0])) < 5.6
+            assert "T_0to1" in item and "camera" in item["view0"]
+        finally:
+            eth_mod.DATA_PATH = old
+
+    def test_eval_pipeline_end_to_end(self, eth3d_tree, tmp_path):
+        """Full ETH3D benchmark drive (VERDICT r4 next #4): dataset ->
+        run_gt_in_forward export (depth_matcher GT labels from the rendered
+        depth + COLMAP poses) -> predictions.h5 -> global PR/AP aggregation,
+        with quantitative floors. Mirrors reference eval/eth3d.py:18-106."""
+        import gluefactory_tpu.datasets.eth3d as eth_mod
+        from gluefactory_tpu.eval.eth3d import ETH3DPipeline
+
+        data_dir, _ = eth3d_tree
+        old = eth_mod.DATA_PATH
+        eth_mod.DATA_PATH = data_dir
+        try:
+            conf = {
+                "data": {"downsize_factor": 4, "min_covisibility": 500},
+                "model": {
+                    "extractor": {"name": "sift", "max_num_keypoints": 512,
+                                  "nms_radius": 0},
+                    "matcher": {"name": "nearest_neighbor_matcher",
+                                "ratio_thresh": 0.95},
+                    "ground_truth": {"name": "depth_matcher",
+                                     "th_positive": 3.0},
+                    "run_gt_in_forward": True,
+                },
+            }
+            out = tmp_path / "eth3d_run"
+            pipe = ETH3DPipeline(conf)
+            summaries, figures, results = pipe.run(Path(out))
+        finally:
+            eth_mod.DATA_PATH = old
+
+        assert (out / "predictions.h5").exists()
+        # same-texture plane pairs with exact depth+pose GT: NN-SIFT must
+        # reach a solid AP (percent, reference eval/utils.py AP*100), and
+        # the GT labeller must produce a substantial positive set
+        assert summaries["AP"] > 50.0, summaries
+        assert len(results["curve_recall"]) > 100, len(results["curve_recall"])
+        assert float(results["curve_recall"][-1]) > 0.3, results["curve_recall"][-1]

@@ -1,6 +1,8 @@
 """SfM layer tests: triangulation, bundle adjustment (single and multi-chip
 Schur reduction), pose-graph optimization, ATE metrics."""
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -199,3 +201,111 @@ class TestATE:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-v", "-x"])
+
+
+class TestDistributedBATwoProcess:
+    def test_two_process_ba_matches_single(self, tmp_path):
+        """VERDICT r4 next #9: the shard_map BA step under a REAL 2-process
+        jax.distributed (gloo) mesh — the DCN-analogue configuration of
+        SURVEY §2.10/§7 step 7 — not just the virtual 8-device mesh. Each
+        rank feeds its landmark shard via make_array_from_process_local_data,
+        the camera Schur system psum-reduces across the process boundary, and
+        the result must match the single-process ba_gn_step."""
+        import os
+        import socket
+        import subprocess
+        import sys
+        import textwrap
+
+        repo = str(Path(__file__).resolve().parent.parent)
+        worker = tmp_path / "ba_worker.py"
+        worker.write_text(textwrap.dedent(
+            """
+            import sys
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            import numpy as np
+
+            pid, port, repo = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+            sys.path.insert(0, repo)
+            sys.path.insert(0, repo + "/tests")
+
+            from gluefactory_tpu.parallel.distributed import init_distributed
+
+            ok = init_distributed(
+                coordinator_address=f"localhost:{port}",
+                num_processes=2, process_id=pid,
+            )
+            assert ok and jax.process_count() == 2
+            assert len(jax.devices()) == 2 and len(jax.local_devices()) == 1
+
+            import jax.numpy as jnp
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
+            from jax.experimental import multihost_utils
+
+            from gluefactory_tpu.sfm.ba import ba_gn_step, make_distributed_ba_step
+            from test_sfm import make_ba_problem
+
+            # identical full problem on both ranks (same seed)
+            problem, _ = make_ba_problem(np.random.RandomState(0), n_pts=64)
+            mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
+            def sharded(x):
+                x = np.asarray(x)
+                half = x.shape[0] // 2
+                local = x[pid * half:(pid + 1) * half]
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P("data")), local, x.shape
+                )
+
+            def repl(x):
+                x = np.asarray(x)
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, P()), x, x.shape
+                )
+
+            step = make_distributed_ba_step(mesh)
+            lam_v = np.float32(1e-3)
+            R_d, t_d, X_d = step(
+                repl(problem.R), repl(problem.t), sharded(problem.X),
+                sharded(problem.cam_idx), sharded(problem.uv),
+                sharded(problem.valid), repl(problem.K_mat), repl(lam_v),
+            )
+            # replicated outputs are fully addressable on every rank;
+            # the landmark shard needs an allgather
+            R_g = np.asarray(R_d)
+            t_g = np.asarray(t_d)
+            X_g = np.asarray(multihost_utils.process_allgather(X_d, tiled=True))
+
+            # single-device reference on this rank's local CPU device
+            ref = ba_gn_step(problem, jnp.asarray(lam_v))
+            np.testing.assert_allclose(R_g, np.asarray(ref.R), atol=1e-3)
+            np.testing.assert_allclose(t_g, np.asarray(ref.t), atol=1e-3)
+            # X carries the raw scene scale (|X| up to ~8), so the fp32
+            # psum-vs-single-sum reduction-order noise needs a relative term
+            np.testing.assert_allclose(X_g, np.asarray(ref.X),
+                                       rtol=2e-3, atol=2e-3)
+
+            multihost_utils.sync_global_devices("ba_done")
+            jax.distributed.shutdown()
+            print("BA_OK", pid)
+            """
+        ))
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)  # see test_parallel.py note
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(worker), str(i), str(port), repo],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        assert all(p.returncode == 0 for p in procs), "\n".join(outs)
+        assert "BA_OK 0" in outs[0] and "BA_OK 1" in outs[1]
