@@ -119,6 +119,42 @@ def main():
     mfu = (analytic_flops_per_pair() * pairs_per_s) / (PEAK_TFLOPS * 1e12)
 
     extra = {"mfu_analytic": round(mfu, 4)}
+
+    # single-pair latency at the headline shape (the reference's interactive
+    # use case; LightGlue paper reports ms/pair at b1)
+    data1 = {k: {kk: vv[:1] for kk, vv in v.items()} for k, v in data.items()}
+    b1_pairs = run(pipe, variables, data1, batch=1)
+    extra["b1_latency_ms"] = round(1000.0 / b1_pairs, 2)
+
+    # second reference protocol (VERDICT r4 next #8): MegaDepth-1500 eval
+    # shape — 1600px long side, 2048 keypoints (reference README.md:123-135).
+    # Smaller batch: 6.25x the pixels of the headline shape.
+    md_b, md_h, md_w, md_k = 4, 1200, 1600, 2048
+    pipe_md = get_model("two_view_pipeline").from_conf(
+        {
+            "extractor": {"name": "superpoint_open", "max_num_keypoints": md_k},
+            "matcher": {
+                "name": "lightglue", "filter_threshold": 0.1, "mp": True,
+                "collect_layers": False,
+            },
+        }
+    )
+    data_md = {
+        v: {
+            "image": jnp.asarray(rng.rand(md_b, md_h, md_w, 1), jnp.float32),
+            "image_size": jnp.asarray([[md_w * 1.0, md_h * 1.0]] * md_b),
+        }
+        for v in ("view0", "view1")
+    }
+    vars_md = pipe_md.init(jax.random.PRNGKey(0), data_md)
+    md_pairs = run(pipe_md, vars_md, data_md, n_iters=10, batch=md_b)
+    extra["megadepth_protocol"] = {
+        "shape": f"{md_h}x{md_w}", "kpts": md_k, "batch": md_b,
+        "pairs_per_s": round(md_pairs, 2),
+        "ms_per_pair": round(1000.0 / md_pairs, 2),
+    }
+    del vars_md, data_md
+
     extra["adaptive"] = adaptive_bench(jax, jnp, make_pipe, run)
 
     print(
