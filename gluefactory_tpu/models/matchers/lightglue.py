@@ -112,6 +112,14 @@ class LightGlue(BaseModel):
         "width_capacity": 0.5,
         "filter_threshold": 0.0,
         "checkpointed": False,  # remat each layer
+        # whole-block Pallas megakernels (ops/pallas_lightglue_block.py):
+        # one fused program per self block and per cross block — projections,
+        # rotary, attention, out-proj, LayerNorm, GELU and the residual all
+        # stay in VMEM, so per layer only the descriptors cross HBM.
+        # "auto" = on for Pallas inference on the stacked full-depth path
+        # (m == n, N % 128 == 0, N <= 1024); True forces it (interpret mode
+        # off-TPU, used by tests); False disables.
+        "fused_layer": "auto",
         # collect per-layer descriptors (needed by the deep-supervision loss
         # and the reference output contract). False skips the scan stacking at
         # inference: ref_descriptors* then carry ONLY the exit layer (L=1),
@@ -460,9 +468,19 @@ class LightGlue(BaseModel):
 
             collect = self.conf.collect_layers or self.conf.is_training
 
-            def step(carry, i):
-                d = self._layer_stacked(i, carry, enc, mask)
-                return d, (d if collect else None)
+            fused = self.conf.fused_layer
+            use_fused = (
+                (fused is True or (fused == "auto" and self._attn_impl() == "pallas"))
+                and not self.conf.is_training
+                and m % 128 == 0
+                and m <= 1024
+            )
+            if use_fused:
+                step = self._make_fused_step(enc, mask, desc.dtype, collect)
+            else:
+                def step(carry, i):
+                    d = self._layer_stacked(i, carry, enc, mask)
+                    return d, (d if collect else None)
 
             if self.conf.checkpointed:
                 step = jax.checkpoint(step)
@@ -486,6 +504,56 @@ class LightGlue(BaseModel):
         if not collect:
             all0, all1 = desc0[None], desc1[None]
         return desc0, desc1, all0, all1
+
+    def _make_fused_step(self, enc, mask, dtype, collect):
+        """Scan step over the whole-block Pallas megakernels: one fused
+        program per self block (grid over the 2B stacked sets) and per cross
+        block (grid over B pairs). Inference-only; see
+        ops/pallas_lightglue_block.py for the fusion rationale."""
+        from ...ops.pallas_lightglue_block import (
+            fused_cross_block,
+            fused_self_block,
+            rotary_tables,
+        )
+
+        cos, sina, sinb = rotary_tables(enc, dtype)
+        maski = (
+            jnp.ones(enc.shape[1:3], jnp.int32)
+            if mask is None
+            else mask.astype(jnp.int32)
+        )
+        interp = jax.default_backend() != "tpu"
+        nh = self.conf.num_heads
+
+        def step(carry, i):
+            dt = carry.dtype
+            wqkv, bqkv = self._slice(self.self_Wqkv, i, dt)
+            wso, bso = self._slice(self.self_out, i, dt)
+            wsf1, bsf1 = self._slice(self.self_ffn1, i, dt)
+            wsf2, bsf2 = self._slice(self.self_ffn2, i, dt)
+            take = lambda p: jax.lax.dynamic_index_in_dim(p, i, 0, keepdims=False)
+            slns = take(self.self_ln[0]).astype(dt)
+            slnb = take(self.self_ln[1]).astype(dt)
+            carry = fused_self_block(
+                carry, cos, sina, sinb, maski,
+                wqkv, bqkv, wso, bso, wsf1, bsf1, slns, slnb, wsf2, bsf2,
+                num_heads=nh, interpret=interp,
+            )
+            wqk, bqk = self._slice(self.cross_qk, i, dt)
+            wv, bv = self._slice(self.cross_v, i, dt)
+            wco, bco = self._slice(self.cross_out, i, dt)
+            wcf1, bcf1 = self._slice(self.cross_ffn1, i, dt)
+            wcf2, bcf2 = self._slice(self.cross_ffn2, i, dt)
+            clns = take(self.cross_ln[0]).astype(dt)
+            clnb = take(self.cross_ln[1]).astype(dt)
+            carry = fused_cross_block(
+                carry, maski,
+                wqk, bqk, wv, bv, wco, bco, wcf1, bcf1, clns, clnb, wcf2, bcf2,
+                num_heads=nh, interpret=interp,
+            )
+            return carry, (carry if collect else None)
+
+        return step
 
     def _resolve_capacity(self, n_pts: int) -> int:
         """Static compact width for a side with n_pts slots; 0 disables."""
