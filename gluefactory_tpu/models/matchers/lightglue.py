@@ -505,11 +505,13 @@ class LightGlue(BaseModel):
             all0, all1 = desc0[None], desc1[None]
         return desc0, desc1, all0, all1
 
-    def _make_fused_step(self, enc, mask, dtype, collect):
-        """Scan step over the whole-block Pallas megakernels: one fused
-        program per self block (grid over the 2B stacked sets) and per cross
-        block (grid over B pairs). Inference-only; see
-        ops/pallas_lightglue_block.py for the fusion rationale."""
+    def _make_fused_body(self, enc, dtype):
+        """Build `layer(desc, maski, i) -> desc` over the whole-block Pallas
+        megakernels: one fused program per self block (grid over the 2B
+        stacked sets) and per cross block (grid over B pairs). `maski` is an
+        (2B, N) int32 validity/active mask — DATA, so the adaptive loop can
+        feed its evolving active sets through the same kernels.
+        Inference-only; see ops/pallas_lightglue_block.py."""
         from ...ops.pallas_lightglue_block import (
             fused_cross_block,
             fused_self_block,
@@ -517,15 +519,10 @@ class LightGlue(BaseModel):
         )
 
         cos, sina, sinb = rotary_tables(enc, dtype)
-        maski = (
-            jnp.ones(enc.shape[1:3], jnp.int32)
-            if mask is None
-            else mask.astype(jnp.int32)
-        )
         interp = jax.default_backend() != "tpu"
         nh = self.conf.num_heads
 
-        def step(carry, i):
+        def layer(carry, maski, i):
             dt = carry.dtype
             wqkv, bqkv = self._slice(self.self_Wqkv, i, dt)
             wso, bso = self._slice(self.self_out, i, dt)
@@ -546,11 +543,25 @@ class LightGlue(BaseModel):
             wcf2, bcf2 = self._slice(self.cross_ffn2, i, dt)
             clns = take(self.cross_ln[0]).astype(dt)
             clnb = take(self.cross_ln[1]).astype(dt)
-            carry = fused_cross_block(
+            return fused_cross_block(
                 carry, maski,
                 wqk, bqk, wv, bv, wco, bco, wcf1, bcf1, clns, clnb, wcf2, bcf2,
                 num_heads=nh, interpret=interp,
             )
+
+        return layer
+
+    def _make_fused_step(self, enc, mask, dtype, collect):
+        """Scan step over the fused layer (full-depth inference path)."""
+        maski = (
+            jnp.ones(enc.shape[1:3], jnp.int32)
+            if mask is None
+            else mask.astype(jnp.int32)
+        )
+        layer = self._make_fused_body(enc, dtype)
+
+        def step(carry, i):
+            carry = layer(carry, maski, i)
             return carry, (carry if collect else None)
 
         return step
@@ -592,12 +603,34 @@ class LightGlue(BaseModel):
 
         def make_body(enc0_, enc1_, idx0=None, idx1=None):
             """Loop body over (d0, d1) of any static width. idx0/idx1 map
-            compact slots to original token ids for prune-count scatter."""
+            compact slots to original token ids for prune-count scatter.
+
+            When both sides share one kernel-friendly width, the layer runs
+            through the whole-block Pallas megakernels (the active masks are
+            DATA to the fused kernels, so pruning still bites inside them)."""
+            fused = self.conf.fused_layer
+            mloc0 = enc0_.shape[2]
+            nloc0 = enc1_.shape[2]
+            use_fused = (
+                (fused is True or (fused == "auto" and self._attn_impl() == "pallas"))
+                and mloc0 == nloc0
+                and mloc0 % 128 == 0
+                and mloc0 <= 1024
+            )
+            if use_fused:
+                enc_ = jnp.concatenate([enc0_, enc1_], axis=1)
+                fused_layer = self._make_fused_body(enc_, desc0.dtype)
 
             def body_fn(state):
                 i, d0, d1, done, a0, a1, p0, p1 = state
                 mloc, nloc = a0.shape[1], a1.shape[1]
-                d0, d1 = self._layer(i, d0, d1, enc0_, enc1_, a0, a1)
+                if use_fused:
+                    d = jnp.concatenate([d0, d1], axis=0)
+                    a = jnp.concatenate([a0, a1], axis=0).astype(jnp.int32)
+                    d = fused_layer(d, a, i)
+                    d0, d1 = d[:b], d[b:]
+                else:
+                    d0, d1 = self._layer(i, d0, d1, enc0_, enc1_, a0, a1)
                 is_last = i == n_layers - 1
 
                 def check_stop():
