@@ -73,10 +73,14 @@ class _HomographySplit:
 
         def view(difficulty_scale=1.0, photometric=True):
             hconf = conf.homography
+            difficulty = hconf.difficulty
+            if hconf.difficulty_range is not None:
+                lo, hi = hconf.difficulty_range
+                difficulty = float(rng.uniform(lo, hi))
             H, _, _, _ = sample_homography_corners(
                 (w, h),
                 ps,
-                difficulty=hconf.difficulty * difficulty_scale,
+                difficulty=difficulty * difficulty_scale,
                 translation=hconf.translation,
                 n_angles=hconf.n_angles,
                 max_angle=hconf.max_angle,
@@ -175,6 +179,14 @@ class HomographyDataset(BaseDataset):
         "synthetic": {"do": False, "size": [960, 720], "pool": 64},
         "homography": {
             "difficulty": 0.8,
+            # per-sample difficulty mixing: when set to [lo, hi], each view
+            # draws difficulty ~ U(lo, hi) instead of the fixed value, so one
+            # batch mixes high-overlap pairs (calibration signal: matchable
+            # tokens should score high) with low-overlap pairs (hard
+            # negatives: unmatchable tokens should score LOW — the signal the
+            # matchability head needs for width pruning to fire organically,
+            # reference get_pruning_mask lightglue.py:586-593)
+            "difficulty_range": None,
             "translation": 1.0,
             "max_angle": 60,
             "n_angles": 10,

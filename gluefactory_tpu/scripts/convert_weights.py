@@ -396,6 +396,136 @@ def convert_dinov2(state: dict) -> dict:
 # --------------------------------------------------------------------------- #
 # I/O
 # --------------------------------------------------------------------------- #
+# --------------------------------------------------------------------------- #
+# LoFTR (official zju3dv/LoFTR outdoor_ds.ckpt / indoor_ds_new.ckpt)
+# --------------------------------------------------------------------------- #
+def convert_loftr(state: dict, n_coarse: int = 4, n_fine: int = 1) -> dict:
+    """Official LoFTR checkpoint['state_dict'] (after stripping the
+    'matcher.' prefix) -> models/matchers/loftr_official.py. BatchNorms fold
+    into the preceding convs (inference-exact); Linear weights (out, in)
+    transpose to Dense kernels (in, out); FPN Sequential indices follow
+    ResNetFPN_8_2 (conv3x3[0], BN[1], LeakyReLU[2], conv3x3[3])."""
+    p: dict = {}
+
+    def conv_entry(name, key, fold_bn=None):
+        w, b = _conv2d_hwio(state, key, fold_bn)
+        p[name + "_k"] = w
+        p[name + "_b"] = b
+
+    conv_entry("stem", "backbone.conv1", "backbone.bn1")
+    for li in (1, 2, 3):
+        for bi in (0, 1):
+            pre = f"backbone.layer{li}.{bi}"
+            conv_entry(f"layer{li}_{bi}_conv1", f"{pre}.conv1", f"{pre}.bn1")
+            conv_entry(f"layer{li}_{bi}_conv2", f"{pre}.conv2", f"{pre}.bn2")
+            if bi == 0 and f"{pre}.downsample.0.weight" in state:
+                conv_entry(
+                    f"layer{li}_{bi}_down", f"{pre}.downsample.0",
+                    f"{pre}.downsample.1",
+                )
+    conv_entry("l3_out", "backbone.layer3_outconv")
+    conv_entry("l2_out", "backbone.layer2_outconv")
+    conv_entry("l2_out2a", "backbone.layer2_outconv2.0",
+               "backbone.layer2_outconv2.1")
+    conv_entry("l2_out2b", "backbone.layer2_outconv2.3")
+    conv_entry("l1_out", "backbone.layer1_outconv")
+    conv_entry("l1_out2a", "backbone.layer1_outconv2.0",
+               "backbone.layer1_outconv2.1")
+    conv_entry("l1_out2b", "backbone.layer1_outconv2.3")
+
+    def enc_layer(dst, src):
+        for ours, theirs in (
+            ("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"),
+            ("merge", "merge"), ("mlp0", "mlp.0"), ("mlp1", "mlp.2"),
+        ):
+            p[f"{dst}_{ours}"] = np.asarray(state[f"{src}.{theirs}.weight"]).T
+        for ours, theirs in (("norm1", "norm1"), ("norm2", "norm2")):
+            p[f"{dst}_{ours}_s"] = np.asarray(state[f"{src}.{theirs}.weight"])
+            p[f"{dst}_{ours}_b"] = np.asarray(state[f"{src}.{theirs}.bias"])
+
+    for i in range(2 * n_coarse):
+        enc_layer(f"coarse_{i}", f"loftr_coarse.layers.{i}")
+    for i in range(2 * n_fine):
+        enc_layer(f"fine_{i}", f"loftr_fine.layers.{i}")
+
+    p["down_proj_k"] = np.asarray(state["fine_preprocess.down_proj.weight"]).T
+    p["down_proj_b"] = np.asarray(state["fine_preprocess.down_proj.bias"])
+    p["merge_feat_k"] = np.asarray(state["fine_preprocess.merge_feat.weight"]).T
+    p["merge_feat_b"] = np.asarray(state["fine_preprocess.merge_feat.bias"])
+    return {"params": p}
+
+
+# --------------------------------------------------------------------------- #
+# DISK (official depth-save.pth / kornia DISK.from_pretrained)
+# --------------------------------------------------------------------------- #
+def convert_disk(state: dict, down=(16, 32, 64, 64, 64), up=(64, 64, 64, 129),
+                 in_ch: int = 3, kernel_size: int = 5) -> dict:
+    """Convert the official DISK thin U-Net (jatentaki/disk `depth-save.pth`,
+    also vendored by kornia) to models/extractors/disk_official.py.
+
+    The mapping is SHAPE-AND-ORDER based rather than key-name based: torch
+    state dicts preserve module-definition order, and the thin U-Net's
+    parameter sequence is unambiguous —
+
+        [down0: conv w,b]  [down_i (i>=1): prelu, conv w,b] x4
+        [up_i: prelu, conv w,b] x4
+
+    with all shapes distinct per position (InstanceNorm carries no params,
+    down/up-sampling are parameterless pooling/interpolation). This survives
+    any Sequential-nesting renames across disk/kornia versions; shape
+    mismatches raise with the offending position."""
+    seq = [np.asarray(v) for v in state.values()
+           if np.asarray(v).ndim in (1, 4) and np.asarray(v).dtype.kind == "f"]
+    d_in = [in_ch] + list(down[:-1])
+    bot = [down[-1]] + list(up[:-1])
+    skips = list(down[-2::-1])
+    expect = []  # (name, kind, shape)
+    ks = kernel_size
+    for i, (cin, cout) in enumerate(zip(d_in, down)):
+        if i > 0:
+            expect.append((f"down_{i}_prelu", "prelu", (cin,)))
+        expect.append((f"down_{i}_conv", "conv", (cout, cin, ks, ks)))
+    for i, (b, s, cout) in enumerate(zip(bot, skips, up)):
+        expect.append((f"up_{i}_prelu", "prelu", (b + s,)))
+        expect.append((f"up_{i}_conv", "conv", (cout, b + s, ks, ks)))
+
+    params = {}
+    pos = 0
+    for name, kind, shape in expect:
+        if pos >= len(seq):
+            raise ValueError(f"DISK state dict ended early at {name}")
+        t = seq[pos]
+        if kind == "prelu":
+            # torch nn.PReLU may hold a scalar (num_parameters=1) or
+            # per-channel weights; broadcast scalars
+            if t.shape == (1,):
+                t = np.full(shape, float(t[0]), np.float32)
+            if t.shape != shape:
+                raise ValueError(
+                    f"{name}: expected PReLU {shape}, got {t.shape}"
+                )
+            params[name] = t
+            pos += 1
+        else:
+            if t.shape != shape:
+                raise ValueError(f"{name}: expected conv {shape}, got {t.shape}")
+            w = t.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            bvec = seq[pos + 1]
+            if bvec.shape != (shape[0],):
+                raise ValueError(
+                    f"{name}: expected bias ({shape[0]},), got {bvec.shape}"
+                )
+            params[name + "_w"] = w
+            params[name + "_b"] = bvec
+            pos += 2
+    if pos != len(seq):
+        raise ValueError(
+            f"DISK state dict has {len(seq) - pos} unconsumed tensors "
+            "(unexpected architecture variant)"
+        )
+    return {"params": params}
+
+
 def flatten_tree(tree: dict) -> dict:
     flat = {}
 
@@ -421,7 +551,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--kind",
-        choices=["superpoint", "lightglue", "superglue", "gluestick", "aliked", "dinov2"],
+        choices=["superpoint", "lightglue", "superglue", "gluestick", "aliked",
+                 "dinov2", "disk", "loftr"],
         required=True
     )
     parser.add_argument("--input", required=True)
@@ -446,6 +577,16 @@ def main():
         tree = convert_aliked(state)
     elif args.kind == "dinov2":
         tree = convert_dinov2(state)
+    elif args.kind == "disk":
+        if any(k.startswith("extractor.") for k in state):  # disk repo ckpt
+            state = {k[len("extractor."):]: v for k, v in state.items()
+                     if k.startswith("extractor.")}
+        tree = convert_disk(state)
+    elif args.kind == "loftr":
+        if any(k.startswith("matcher.") for k in state):
+            state = {k[len("matcher."):]: v for k, v in state.items()
+                     if k.startswith("matcher.")}
+        tree = convert_loftr(state)
     else:
         state = rename_lightglue_v01(state, args.n_layers)
         tree = convert_lightglue(state, args.n_layers, args.num_heads)

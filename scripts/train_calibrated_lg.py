@@ -140,6 +140,24 @@ def main():
         if "--seed" in sys.argv:
             seed = int(sys.argv[sys.argv.index("--seed") + 1])
         conf["train"].update({"seed": seed, "epochs": 10, "lr": 7.0e-5})
+    elif "--mix" in sys.argv:
+        # r5 curriculum (VERDICT r4 next #2/#5): per-sample difficulty
+        # mixing U(0.25, 0.8). Unlike the r4 --phase2 failure (ALL pairs
+        # hard -> globally conservative matchability, 9 median matches at
+        # threshold 0.1), every batch here mixes high-overlap pairs (which
+        # anchor the calibrated operating point) with low-overlap pairs
+        # whose mostly-UNMATCHABLE tokens give the matchability head the
+        # hard negatives it never saw — the signal that both sharpens the
+        # confident subset at filter_threshold 0.1 and lets width pruning
+        # fire organically (reference get_pruning_mask lightglue.py:586-593).
+        exp = EXPERIMENT + "_mix"
+        seed = 31
+        if "--seed" in sys.argv:
+            seed = int(sys.argv[sys.argv.index("--seed") + 1])
+        conf["data"]["homography"].update(
+            {"difficulty_range": [0.25, 0.8], "translation": 0.5, "max_angle": 40}
+        )
+        conf["train"].update({"seed": seed, "epochs": 12, "lr": 7.0e-5})
     out = REPO / "outputs" / "training" / exp
     trainer = Trainer(conf, exp, out)
     trainer.build()
@@ -158,7 +176,11 @@ def dump():
         load_checkpoint,
     )
 
-    exp = EXPERIMENT + "2" if "--phase2" in sys.argv else EXPERIMENT
+    exp = EXPERIMENT
+    if "--phase2" in sys.argv:
+        exp = EXPERIMENT + "2"
+    elif "--mix" in sys.argv:
+        exp = EXPERIMENT + "_mix"
     state, _ = load_checkpoint(get_best_checkpoint(exp))
     tree = {"params": state["params"]}
     if state.get("batch_stats"):
@@ -168,10 +190,12 @@ def dump():
         k: (v.astype(np.float16) if v.dtype == np.float32 else v)
         for k, v in flat.items()
     }
+    name = "sp_open_lg.npz"
+    if "--out" in sys.argv:  # candidate artifacts for A/B before promotion
+        name = sys.argv[sys.argv.index("--out") + 1]
     out = REPO / "weights" / "hermetic"
-    np.savez_compressed(out / "sp_open_lg.npz", **flat)
-    print(f"wrote {out/'sp_open_lg.npz'} "
-          f"({(out/'sp_open_lg.npz').stat().st_size/1e6:.1f} MB)")
+    np.savez_compressed(out / name, **flat)
+    print(f"wrote {out/name} ({(out/name).stat().st_size/1e6:.1f} MB)")
 
 
 if __name__ == "__main__":
