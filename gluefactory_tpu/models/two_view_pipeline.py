@@ -36,9 +36,11 @@ class TwoViewPipeline(BaseModel):
         # TPU: run ONE extractor call on both views stacked along the batch
         # axis (2B) instead of two B-sized calls. Bit-identical (extraction is
         # per-sample). Measured on v5e: +3% at B=1 (launch-bound eval) but
-        # -7% at B=8 (the wider conv tiles worse) — so off by default; enable
-        # for single-pair/streaming inference.
-        "batch_extraction": False,
+        # -7% at B=8 (the wider conv tiles worse). "auto" (default) stacks
+        # only when the traced batch is 1 — the single-pair/streaming case
+        # the reference's early-exit design targets (lightglue.py:595-606);
+        # True forces it, False disables.
+        "batch_extraction": "auto",
     }
     required_data_keys = ["view0", "view1"]
     components = ["extractor", "matcher", "filter", "solver", "ground_truth"]
@@ -64,13 +66,18 @@ class TwoViewPipeline(BaseModel):
         return pred_i
 
     def _can_batch_extract(self, data) -> bool:
-        if not (self.conf.batch_extraction and self._has("extractor")):
+        be = self.conf.batch_extraction
+        if not (be and self._has("extractor")):
             return False
         v0, v1 = data["view0"], data["view1"]
         if "cache" in v0 or "cache" in v1:
             return False
         img0, img1 = v0.get("image"), v1.get("image")
-        return img0 is not None and img1 is not None and img0.shape == img1.shape
+        if img0 is None or img1 is None or img0.shape != img1.shape:
+            return False
+        # "auto": stack only at batch 1 (shape is static under jit, so this
+        # is a trace-time decision; see default_conf note for the A/B)
+        return True if be is True else img0.shape[0] == 1
 
     def _extract_batched(self, data):
         v0, v1 = data["view0"], data["view1"]

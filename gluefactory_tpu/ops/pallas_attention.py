@@ -12,10 +12,17 @@ LightGlue regime (N <= 4096 keypoints, head_dim 64):
   - Masked softmax uses exp(sim - rowmax) * col_mask with an explicit
     denominator, so fully-padded rows produce exact zeros (same semantics as
     ops/attention.py masked XLA path).
-  - The bidirectional cross-attention entry currently issues two kernel calls
-    (0->1 and 1->0). A single-pass bidirectional kernel that reuses each sim
-    tile for both directions (saving the second QK^T) accumulates the reverse
-    direction across sequential grid steps; planned optimization.
+  - Bidirectional cross-attention is SINGLE-PASS: each similarity tile is
+    computed once and consumed by both directions — full row softmax for
+    messages into set 0, and an online column softmax (running max/denom/
+    accumulator in VMEM scratch across the sequential q-block grid steps)
+    for messages into set 1 (`_bidir_cross_kernel*`). The stacked entry
+    (`fused_cross_attention_stacked`) reads both keypoint sets of a pair
+    from one (2B, N, D) array via BlockSpec index maps: one kernel call per
+    layer, no HBM slicing. (At inference the whole-block layer megakernels
+    in ops/pallas_lightglue_block.py subsume these; these kernels remain the
+    training path — they carry the custom-VJP backward — and the adaptive
+    compact phase.)
 
 Falls back to interpret mode off-TPU so tests exercise the same code path.
 """

@@ -344,8 +344,10 @@ def fused_self_block(
             pltpu.VMEM((n, 1), jnp.float32),  # row mask, sublane layout
         ],
         interpret=interpret,
+        # every grid cell (one keypoint set / one pair) is independent; the
+        # in-kernel chunk loop is the only sequential axis
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * s * n * d * 10 * d + 4 * s * n * n * d,
@@ -419,7 +421,7 @@ def fused_cross_block(
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         ),
     )(x, x, mask[:, None, :], mask[:, None, :],
       wqk, _w2(bqk), wv, _w2(bv), wout, _w2(bout), wff1, _w2(bff1),

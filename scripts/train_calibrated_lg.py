@@ -158,6 +158,15 @@ def main():
             {"difficulty_range": [0.25, 0.8], "translation": 0.5, "max_angle": 40}
         )
         conf["train"].update({"seed": seed, "epochs": 12, "lr": 7.0e-5})
+    elif "--mix2" in sys.argv:
+        # gentler variant after --mix collapsed the 0.1 operating point
+        # (3.5 median matches vs 295 — scripts/eval_mix_candidate.py): skew
+        # the range easier, fewer epochs, lower lr
+        exp = EXPERIMENT + "_mix2"
+        conf["data"]["homography"].update(
+            {"difficulty_range": [0.3, 0.65], "translation": 0.4, "max_angle": 35}
+        )
+        conf["train"].update({"seed": 37, "epochs": 6, "lr": 5.0e-5})
     out = REPO / "outputs" / "training" / exp
     trainer = Trainer(conf, exp, out)
     trainer.build()
@@ -179,6 +188,8 @@ def dump():
     exp = EXPERIMENT
     if "--phase2" in sys.argv:
         exp = EXPERIMENT + "2"
+    elif "--mix2" in sys.argv:
+        exp = EXPERIMENT + "_mix2"
     elif "--mix" in sys.argv:
         exp = EXPERIMENT + "_mix"
     state, _ = load_checkpoint(get_best_checkpoint(exp))
