@@ -303,7 +303,7 @@ def _w2(b):
 def fused_self_block(
     x, cos, sina, sinb, mask,
     wqkv, bqkv, wout, bout, wff1, bff1, lns, lnb, wff2, bff2,
-    num_heads: int = 4, block_q: int = 256, interpret: bool = False,
+    num_heads: int = 4, block_q: int = 512, interpret: bool = False,
 ):
     """Fused self block over stacked sets: x (S, N, D), tables (S, N, D),
     mask (S, N) int32. Weights are single-layer slices. Returns (S, N, D)."""
@@ -365,7 +365,7 @@ def fused_self_block(
 def fused_cross_block(
     x, mask,
     wqk, bqk, wv, bv, wout, bout, wff1, bff1, lns, lnb, wff2, bff2,
-    num_heads: int = 4, block_q: int = 256, interpret: bool = False,
+    num_heads: int = 4, block_q: int = 512, interpret: bool = False,
 ):
     """Fused bidirectional cross block over stacked sets: x (2B, N, D) with
     pair i = rows (i, i+B); mask (2B, N) int32. Returns (2B, N, D)."""
