@@ -96,6 +96,31 @@ class TestFusedLayerParity:
         mask0 = np.asarray(data["keypoint_mask0"])
         assert (np.asarray(out_fused["matches0"])[~mask0] == -1).all()
 
+    def test_adaptive_with_compact_phase_matches_unfused(self, rng):
+        """The adaptive while_loop (depth exit + width pruning incl. the
+        compact-prefix phase) runs through the fused kernels when the
+        widths allow; outputs must match the unfused adaptive path."""
+        data = _data(rng, 2, 256)
+        base = {
+            "filter_threshold": 0.1,
+            "depth_confidence": 0.95,
+            "width_confidence": 0.99,
+            "width_capacity": 0.5,
+        }
+        m_off = get_model("lightglue").from_conf({**base, "fused_layer": False})
+        params = m_off.init(jax.random.PRNGKey(3), data)
+        out_ref = m_off.apply(params, data)
+        m_on = get_model("lightglue").from_conf({**base, "fused_layer": True})
+        out_fused = m_on.apply(params, data)
+        assert int(out_ref["stop_layer"]) == int(out_fused["stop_layer"])
+        np.testing.assert_allclose(
+            out_ref["prune0"], out_fused["prune0"], atol=1e-6
+        )
+        np.testing.assert_allclose(
+            out_ref["log_assignment"], out_fused["log_assignment"], atol=5e-3
+        )
+        assert (out_ref["matches0"] == out_fused["matches0"]).mean() > 0.99
+
     def test_padding_invariance(self, rng):
         """Same valid tokens + extra padding -> identical valid outputs."""
         n, extra = 128, 128
