@@ -154,6 +154,43 @@ class TestDISKWeightParity:
         assert (np.diff(sc) <= 1e-6).all()
 
 
+class TestOfficialModelComposition:
+    """The official-architecture models compose with the standard pipeline
+    and config machinery (random init — API surface, not quality)."""
+
+    def test_disk_official_in_two_view_pipeline(self, rng):
+        pipe = get_model("two_view_pipeline").from_conf(
+            {
+                "extractor": {"name": "disk_official", "max_num_keypoints": 64},
+                "matcher": {"name": "nearest_neighbor_matcher",
+                            "mutual_check": True},
+            }
+        )
+        data = {
+            v: {
+                "image": jnp.asarray(rng.rand(1, 48, 64, 3), jnp.float32),
+                "image_size": jnp.asarray([[64.0, 48.0]]),
+            }
+            for v in ("view0", "view1")
+        }
+        variables = pipe.init(jax.random.PRNGKey(0), data)
+        pred = pipe.apply(variables, data)
+        assert pred["keypoints0"].shape == (1, 64, 2)
+        assert pred["matches0"].shape == (1, 64)
+
+    def test_official_configs_load(self):
+        from pathlib import Path
+
+        import yaml
+
+        import gluefactory_tpu
+
+        cfg_dir = Path(gluefactory_tpu.__file__).parent / "configs"
+        for stem in ("disk+lightglue-official", "loftr-official"):
+            conf = yaml.safe_load((cfg_dir / f"{stem}.yaml").read_text())
+            assert conf["model"]["name"] == "two_view_pipeline", stem
+
+
 # --------------------------------------------------------------------------- #
 # torch replica: official LoFTR (ResNetFPN_8_2 + linear-attention LoFTR)
 # --------------------------------------------------------------------------- #
