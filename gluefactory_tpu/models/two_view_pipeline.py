@@ -82,12 +82,21 @@ class TwoViewPipeline(BaseModel):
     def _extract_batched(self, data):
         v0, v1 = data["view0"], data["view1"]
         b = v0["image"].shape[0]
+        import numpy as np
+
+        def stackable(a, b):
+            # plain arrays only: view dicts can carry Pose/Camera pytree
+            # wrappers (eval datasets), which the extractor never reads
+            return (
+                isinstance(a, (jnp.ndarray, np.ndarray))
+                and isinstance(b, (jnp.ndarray, np.ndarray))
+                and a.shape == b.shape
+            )
+
         stacked = {
             k: jnp.concatenate([v0[k], v1[k]], axis=0)
             for k in v0
-            if k in v1
-            and hasattr(v0[k], "shape")
-            and v0[k].shape == v1[k].shape
+            if k in v1 and stackable(v0[k], v1[k])
         }
         pred = self.extractor(stacked)
         if not self.conf.extractor.get("trainable", False):

