@@ -505,7 +505,7 @@ class LightGlue(BaseModel):
             all0, all1 = desc0[None], desc1[None]
         return desc0, desc1, all0, all1
 
-    def _make_fused_body(self, enc, dtype):
+    def _make_fused_body(self, enc, dtype, masked=True):
         """Build `layer(desc, maski, i) -> desc` over the whole-block Pallas
         megakernels: one fused program per self block (grid over the 2B
         stacked sets) and per cross block (grid over B pairs). `maski` is an
@@ -523,6 +523,8 @@ class LightGlue(BaseModel):
         nh = self.conf.num_heads
 
         def layer(carry, maski, i):
+            # `masked` is captured statically: the all-valid fast path skips
+            # every validity-bias op inside the kernels
             dt = carry.dtype
             wqkv, bqkv = self._slice(self.self_Wqkv, i, dt)
             wso, bso = self._slice(self.self_out, i, dt)
@@ -534,7 +536,7 @@ class LightGlue(BaseModel):
             carry = fused_self_block(
                 carry, cos, sina, sinb, maski,
                 wqkv, bqkv, wso, bso, wsf1, bsf1, slns, slnb, wsf2, bsf2,
-                num_heads=nh, interpret=interp,
+                num_heads=nh, interpret=interp, masked=masked,
             )
             wqk, bqk = self._slice(self.cross_qk, i, dt)
             wv, bv = self._slice(self.cross_v, i, dt)
@@ -546,7 +548,7 @@ class LightGlue(BaseModel):
             return fused_cross_block(
                 carry, maski,
                 wqk, bqk, wv, bv, wco, bco, wcf1, bcf1, clns, clnb, wcf2, bcf2,
-                num_heads=nh, interpret=interp,
+                num_heads=nh, interpret=interp, masked=masked,
             )
 
         return layer
@@ -558,7 +560,7 @@ class LightGlue(BaseModel):
             if mask is None
             else mask.astype(jnp.int32)
         )
-        layer = self._make_fused_body(enc, dtype)
+        layer = self._make_fused_body(enc, dtype, masked=mask is not None)
 
         def step(carry, i):
             carry = layer(carry, maski, i)

@@ -120,20 +120,23 @@ def _self_block_kernel(
     wff1_ref, bff1_ref, lns_ref, lnb_ref, wff2_ref, bff2_ref,
     o_ref,
     q_ref, k_ref, v_ref, ctx_ref, rs_ref,
-    *, num_heads, block_q,
+    *, num_heads, block_q, masked,
 ):
-    """One fused self-attention block for one keypoint set (grid cell)."""
+    """One fused self-attention block for one keypoint set (grid cell).
+    `masked=False` (static) skips all validity-bias work — the all-valid
+    fast path for unpadded inference batches."""
     x = x_ref[0]                       # (N, D) activation dtype
     cd = x.dtype
     n, d = x.shape
     dh = d // num_heads
     scale = dh ** -0.5
-    mask = mask_ref[0, 0, :]           # (N,) int32, lane layout
-    colbias = (mask.astype(jnp.float32) - 1.0) * 1e9
-    # row-mask in sublane layout, staged once into scratch so the chunk loop
-    # can pl.ds-slice it (dynamic slicing of a live lane vector relayouts
-    # per iteration otherwise)
-    rs_ref[...] = mask.astype(jnp.float32)[:, None]
+    if masked:
+        mask = mask_ref[0, 0, :]       # (N,) int32, lane layout
+        colbias = (mask.astype(jnp.float32) - 1.0) * 1e9
+        # row-mask in sublane layout, staged once into scratch so the chunk
+        # loop can pl.ds-slice it (dynamic slicing of a live lane vector
+        # relayouts per iteration otherwise)
+        rs_ref[...] = mask.astype(jnp.float32)[:, None]
 
     cos = cos_ref[0].astype(jnp.float32)
     sina = sina_ref[0].astype(jnp.float32)
@@ -154,7 +157,7 @@ def _self_block_kernel(
     def attn_chunk(c, _):
         start = pl.multiple_of(c * block_q, block_q)
         rows = pl.ds(start, block_q)
-        rowscale = rs_ref[rows, :]
+        rowscale = rs_ref[rows, :] if masked else 1.0
         for h in range(num_heads):
             sl = slice(h * dh, (h + 1) * dh)
             # contraction on dim 1 of both operands: no bf16 transpose of k
@@ -163,7 +166,8 @@ def _self_block_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            sim += colbias[None, :]
+            if masked:
+                sim += colbias[None, :]
             rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), -1e4)
             e = jnp.exp(sim - rowmax)
             denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -196,7 +200,7 @@ def _cross_block_kernel(
     o0_ref, o1_ref,
     qk0_ref, qk1_ref, v0_ref, v1_ref, ctx0_ref, ctx1_ref,
     rs0_ref, colmax_ref, coldenom_ref, colacc_ref,
-    *, num_heads, block_q,
+    *, num_heads, block_q, masked,
 ):
     """One fused bidirectional cross-attention block for one PAIR (grid cell).
 
@@ -210,10 +214,11 @@ def _cross_block_kernel(
     n, d = x0.shape
     dh = d // num_heads
     scale = dh ** -0.5
-    mask0 = mask0_ref[0, 0, :].astype(jnp.float32)  # (N,) lane layout
-    mask1 = mask1_ref[0, 0, :].astype(jnp.float32)
-    colbias = (mask1 - 1.0) * 1e9
-    rs0_ref[...] = (mask0[:, None] - 1.0) * 1e9      # row bias, sublane layout
+    if masked:
+        mask0 = mask0_ref[0, 0, :].astype(jnp.float32)  # (N,) lane layout
+        mask1 = mask1_ref[0, 0, :].astype(jnp.float32)
+        colbias = (mask1 - 1.0) * 1e9
+        rs0_ref[...] = (mask0[:, None] - 1.0) * 1e9  # row bias, sublane layout
 
     def proj(xx, w_ref, b_ref):
         y = jnp.dot(xx, w_ref[:], preferred_element_type=jnp.float32)
@@ -233,7 +238,7 @@ def _cross_block_kernel(
     def attn_chunk(c, _):
         start = pl.multiple_of(c * block_q, block_q)
         rows = pl.ds(start, block_q)
-        rowbias = rs0_ref[rows, :]                   # (BQ, 1)
+        rowbias = rs0_ref[rows, :] if masked else None   # (BQ, 1)
         for h in range(num_heads):
             sl = slice(h * dh, (h + 1) * dh)
             sim = jax.lax.dot_general(
@@ -241,7 +246,8 @@ def _cross_block_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
-            sim += rowbias + colbias[None, :]
+            if masked:
+                sim += rowbias + colbias[None, :]
             # 0 <- 1 (row softmax; invalid rows underflow to exact zeros)
             rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), -1e4)
             e_row = jnp.exp(sim - rowmax)
@@ -298,19 +304,22 @@ def _w2(b):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "block_q", "interpret")
+    jax.jit, static_argnames=("num_heads", "block_q", "interpret", "masked")
 )
 def fused_self_block(
     x, cos, sina, sinb, mask,
     wqkv, bqkv, wout, bout, wff1, bff1, lns, lnb, wff2, bff2,
     num_heads: int = 4, block_q: int = 512, interpret: bool = False,
+    masked: bool = True,
 ):
     """Fused self block over stacked sets: x (S, N, D), tables (S, N, D),
-    mask (S, N) int32. Weights are single-layer slices. Returns (S, N, D)."""
+    mask (S, N) int32 (ignored when masked=False — the static all-valid
+    fast path). Weights are single-layer slices. Returns (S, N, D)."""
     s, n, d = x.shape
     grid = (s,)
     kernel = functools.partial(
-        _self_block_kernel, num_heads=num_heads, block_q=min(block_q, n)
+        _self_block_kernel, num_heads=num_heads, block_q=min(block_q, n),
+        masked=masked,
     )
     row = lambda i: (i, 0, 0)
     full = lambda i: (0, 0)
@@ -360,20 +369,23 @@ def fused_self_block(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "block_q", "interpret")
+    jax.jit, static_argnames=("num_heads", "block_q", "interpret", "masked")
 )
 def fused_cross_block(
     x, mask,
     wqk, bqk, wv, bv, wout, bout, wff1, bff1, lns, lnb, wff2, bff2,
     num_heads: int = 4, block_q: int = 512, interpret: bool = False,
+    masked: bool = True,
 ):
     """Fused bidirectional cross block over stacked sets: x (2B, N, D) with
-    pair i = rows (i, i+B); mask (2B, N) int32. Returns (2B, N, D)."""
+    pair i = rows (i, i+B); mask (2B, N) int32 (ignored when masked=False).
+    Returns (2B, N, D)."""
     s, n, d = x.shape
     b = s // 2
     grid = (b,)
     kernel = functools.partial(
-        _cross_block_kernel, num_heads=num_heads, block_q=min(block_q, n)
+        _cross_block_kernel, num_heads=num_heads, block_q=min(block_q, n),
+        masked=masked,
     )
     half0 = lambda i: (i, 0, 0)
     half1 = lambda i: (i + b, 0, 0)
