@@ -93,25 +93,35 @@ def save_experiment(
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(f"ckpt_{epoch}_{iter_i}")
-    if not is_main:
-        return path
-    meta = {
-        "conf": merge({}, conf),
-        "epoch": epoch,
-        "iter": iter_i,
-        "eval": {k: float(v) for k, v in (results or {}).items() if _is_num(v)},
-        "best_eval": None if best_eval is None else float(best_eval),
-    }
-    save_yaml(meta, path / "meta.yaml")
-    save_yaml(merge({}, conf), dir_ / "conf.yaml")
-    if is_best:
-        best = dir_ / "checkpoint_best"
-        if best.exists():
-            shutil.rmtree(best, ignore_errors=True)
-        # dirs_exist_ok: two best-saves can target the same checkpoint path
-        # (eval-triggered + end-of-epoch with identical epoch/iter)
-        shutil.copytree(path, best, dirs_exist_ok=True)
-    delete_old_checkpoints(dir_, num_keep)
+    if is_main:
+        meta = {
+            "conf": merge({}, conf),
+            "epoch": epoch,
+            "iter": iter_i,
+            "eval": {
+                k: float(v) for k, v in (results or {}).items() if _is_num(v)
+            },
+            "best_eval": None if best_eval is None else float(best_eval),
+        }
+        save_yaml(meta, path / "meta.yaml")
+        save_yaml(merge({}, conf), dir_ / "conf.yaml")
+        if is_best:
+            best = dir_ / "checkpoint_best"
+            if best.exists():
+                shutil.rmtree(best, ignore_errors=True)
+            # dirs_exist_ok: two best-saves can target the same checkpoint
+            # path (eval-triggered + end-of-epoch with identical epoch/iter)
+            shutil.copytree(path, best, dirs_exist_ok=True)
+        delete_old_checkpoints(dir_, num_keep)
+    if jax.process_count() > 1:
+        # second barrier: without it a non-main rank can run ahead into the
+        # NEXT collective save — whose force-overwrite deletes this very
+        # checkpoint dir — while rank 0 is still copying checkpoint_best
+        # from it (observed as a copytree ENOENT race in the 2-process
+        # trainer test)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_done_{epoch}_{iter_i}")
     return path
 
 
