@@ -469,11 +469,14 @@ class LightGlue(BaseModel):
             collect = self.conf.collect_layers or self.conf.is_training
 
             fused = self.conf.fused_layer
+            fused_on = fused is True or (
+                fused == "auto" and self._attn_impl() == "pallas"
+            )
             use_fused = (
-                (fused is True or (fused == "auto" and self._attn_impl() == "pallas"))
+                fused_on
                 and not self.conf.is_training
                 and m % 128 == 0
-                and m <= 1024
+                and m <= 2048  # > 1024 runs the VMEM-lean v2 kernels
             )
             if use_fused:
                 step = self._make_fused_step(enc, mask, desc.dtype, collect)
@@ -518,9 +521,23 @@ class LightGlue(BaseModel):
             rotary_tables,
         )
 
-        cos, sina, sinb = rotary_tables(enc, dtype)
         interp = jax.default_backend() != "tpu"
         nh = self.conf.num_heads
+        n = enc.shape[2]
+        use_v2 = n > 1024
+        if use_v2:
+            # VMEM-lean large-N kernels: compact per-head rotary tables (the
+            # encoding is head-tiled, so one head's slice carries it all),
+            # all-valid fast path only (gated by the caller)
+            from ...ops.pallas_lightglue_block import (
+                fused_cross_block_v2,
+                fused_self_block_v2,
+            )
+
+            dh = self.conf.descriptor_dim // nh
+            cos, sina, sinb = rotary_tables(enc[..., :dh], dtype)
+        else:
+            cos, sina, sinb = rotary_tables(enc, dtype)
 
         def layer(carry, maski, i):
             # `masked` is captured statically: the all-valid fast path skips
@@ -533,11 +550,18 @@ class LightGlue(BaseModel):
             take = lambda p: jax.lax.dynamic_index_in_dim(p, i, 0, keepdims=False)
             slns = take(self.self_ln[0]).astype(dt)
             slnb = take(self.self_ln[1]).astype(dt)
-            carry = fused_self_block(
-                carry, cos, sina, sinb, maski,
-                wqkv, bqkv, wso, bso, wsf1, bsf1, slns, slnb, wsf2, bsf2,
-                num_heads=nh, interpret=interp, masked=masked,
-            )
+            if use_v2:
+                carry = fused_self_block_v2(
+                    carry, cos, sina, sinb, maski,
+                    wqkv, bqkv, wso, bso, wsf1, bsf1, slns, slnb, wsf2, bsf2,
+                    num_heads=nh, block_q=128, interpret=interp, masked=masked,
+                )
+            else:
+                carry = fused_self_block(
+                    carry, cos, sina, sinb, maski,
+                    wqkv, bqkv, wso, bso, wsf1, bsf1, slns, slnb, wsf2, bsf2,
+                    num_heads=nh, interpret=interp, masked=masked,
+                )
             wqk, bqk = self._slice(self.cross_qk, i, dt)
             wv, bv = self._slice(self.cross_v, i, dt)
             wco, bco = self._slice(self.cross_out, i, dt)
@@ -545,6 +569,13 @@ class LightGlue(BaseModel):
             wcf2, bcf2 = self._slice(self.cross_ffn2, i, dt)
             clns = take(self.cross_ln[0]).astype(dt)
             clnb = take(self.cross_ln[1]).astype(dt)
+            if use_v2:
+                return fused_cross_block_v2(
+                    carry, maski,
+                    wqk, bqk, wv, bv, wco, bco, wcf1, bcf1, clns, clnb,
+                    wcf2, bcf2, num_heads=nh, block_q=128, interpret=interp,
+                    masked=masked,
+                )
             return fused_cross_block(
                 carry, maski,
                 wqk, bqk, wv, bv, wco, bco, wcf1, bcf1, clns, clnb, wcf2, bcf2,

@@ -441,4 +441,328 @@ def fused_cross_block(
     return jnp.concatenate([m0, m1], axis=0)
 
 
-__all__ = ["fused_self_block", "fused_cross_block", "rotary_tables"]
+
+
+# --------------------------------------------------------------------------- #
+# Large-N variants (N > 1024): VMEM-lean versions of the same blocks.
+# Differences from the proven N <= 1024 kernels, all to fit the 16 MB
+# scoped-VMEM budget at N = 2048 (the MegaDepth protocol):
+#   - rotary tables stream COMPACT: (S, N, Dh) per-head tables (identical
+#     across heads), expanded in-kernel with pltpu.repeat (tile semantics);
+#   - q is projected PER CHUNK (same total FLOPs, no (N, D) q scratch and
+#     no full-size f32 rotary transient for q);
+#   - the out-proj + FFN tail runs inside the attention chunk loop (context
+#     rows are complete once the head loop finishes), so there is no (N, D)
+#     context scratch;
+#   - all-valid only (masked=False path); padded batches keep the unfused
+#     route.
+# --------------------------------------------------------------------------- #
+def _self_block_kernel_v2(
+    x_ref, cos_ref, sina_ref, sinb_ref, mask_ref,
+    wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+    wff1_ref, bff1_ref, lns_ref, lnb_ref, wff2_ref, bff2_ref,
+    o_ref,
+    k_ref, v_ref, rs_ref,
+    *, num_heads, block_q, masked,
+):
+    x = x_ref[0]
+    cd = x.dtype
+    n, d = x.shape
+    dh = d // num_heads
+    scale = dh ** -0.5
+    if masked:
+        mask = mask_ref[0, 0, :]
+        colbias = (mask.astype(jnp.float32) - 1.0) * 1e9
+        rs_ref[...] = mask.astype(jnp.float32)[:, None]
+
+    def expand(t64):  # (R, Dh) f32 -> (R, D): heads share one table
+        return pltpu.repeat(t64, num_heads, axis=1)
+
+    cos_k = expand(cos_ref[0].astype(jnp.float32))
+    sina_k = expand(sina_ref[0].astype(jnp.float32))
+    sinb_k = expand(sinb_ref[0].astype(jnp.float32))
+
+    yk = jnp.dot(x, wqkv_ref[:, d:2 * d], preferred_element_type=jnp.float32)
+    yk += bqkv_ref[0, d:2 * d].astype(jnp.float32)
+    k_ref[...] = _apply_rotary_rolled(yk, cos_k, sina_k, sinb_k).astype(cd)
+    yv = jnp.dot(x, wqkv_ref[:, 2 * d:], preferred_element_type=jnp.float32)
+    v_ref[...] = (yv + bqkv_ref[0, 2 * d:].astype(jnp.float32)).astype(cd)
+
+    n_chunks = n // block_q
+
+    def chunk(c, _):
+        start = pl.multiple_of(c * block_q, block_q)
+        rows = pl.ds(start, block_q)
+        xr = x_ref[0, rows]
+        yq = jnp.dot(xr, wqkv_ref[:, :d], preferred_element_type=jnp.float32)
+        yq += bqkv_ref[0, :d].astype(jnp.float32)
+        cr = expand(cos_ref[0, rows].astype(jnp.float32))
+        ar = expand(sina_ref[0, rows].astype(jnp.float32))
+        br = expand(sinb_ref[0, rows].astype(jnp.float32))
+        q = (_apply_rotary_rolled(yq, cr, ar, br) * scale).astype(cd)
+        rowscale = rs_ref[rows, :] if masked else 1.0
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            sim = jax.lax.dot_general(
+                q[:, sl], k_ref[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if masked:
+                sim += colbias[None, :]
+            rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), -1e4)
+            e = jnp.exp(sim - rowmax)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(e.astype(cd), v_ref[:, sl],
+                        preferred_element_type=jnp.float32)
+            outs.append(
+                (o * (rowscale * pl.reciprocal(denom + 1e-30, approx=True))
+                 ).astype(cd)
+            )
+        ctx = jnp.concatenate(outs, axis=1)
+        o_ref[0, rows] = _ffn_tail(
+            xr, ctx, wout_ref, bout_ref, wff1_ref, bff1_ref,
+            lns_ref, lnb_ref, wff2_ref, bff2_ref, cd,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+
+def _cross_block_kernel_v2(
+    x0_ref, x1_ref, mask0_ref, mask1_ref,
+    wqk_ref, bqk_ref, wv_ref, bv_ref, wout_ref, bout_ref,
+    wff1_ref, bff1_ref, lns_ref, lnb_ref, wff2_ref, bff2_ref,
+    o0_ref, o1_ref,
+    qk1_ref, v1_ref, rs0_ref, colmax_ref, coldenom_ref, colacc_ref,
+    *, num_heads, block_q, masked,
+):
+    """VMEM notes: o1_ref doubles as the ctx1 staging buffer (finalized
+    column-direction context is written there, then overwritten row-chunk
+    by row-chunk with the FFN result); the row bias is sliced from the
+    lane-layout mask block per chunk instead of a sublane scratch."""
+    x0 = x0_ref[0]
+    x1 = x1_ref[0]
+    cd = x0.dtype
+    n, d = x0.shape
+    dh = d // num_heads
+    scale = dh ** -0.5
+    if masked:
+        mask0 = mask0_ref[0, 0, :].astype(jnp.float32)
+        mask1 = mask1_ref[0, 0, :].astype(jnp.float32)
+        colbias = (mask1 - 1.0) * 1e9
+        rs0_ref[...] = (mask0[:, None] - 1.0) * 1e9
+
+    def proj(xx, w_ref, b_ref):
+        y = jnp.dot(xx, w_ref[:], preferred_element_type=jnp.float32)
+        return (y + b_ref[0].astype(jnp.float32)).astype(cd)
+
+    qk1_ref[...] = proj(x1, wqk_ref, bqk_ref)
+    v1_ref[...] = proj(x1, wv_ref, bv_ref)
+    colmax_ref[...] = jnp.full_like(colmax_ref[...], -jnp.inf)
+    coldenom_ref[...] = jnp.zeros_like(coldenom_ref[...])
+    colacc_ref[...] = jnp.zeros_like(colacc_ref[...])
+
+    n_chunks = n // block_q
+
+    def chunk(c, _):
+        start = pl.multiple_of(c * block_q, block_q)
+        rows = pl.ds(start, block_q)
+        x0r = x0_ref[0, rows]
+        qk0 = proj(x0r, wqk_ref, bqk_ref)
+        v0 = proj(x0r, wv_ref, bv_ref)
+        rowbias = rs0_ref[rows, :] if masked else None
+        outs = []
+        for h in range(num_heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            sim = jax.lax.dot_general(
+                qk0[:, sl], qk1_ref[:, sl],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if masked:
+                sim += rowbias + colbias[None, :]
+            rowmax = jnp.maximum(jnp.max(sim, axis=-1, keepdims=True), -1e4)
+            e_row = jnp.exp(sim - rowmax)
+            denom_r = jnp.sum(e_row, axis=-1, keepdims=True)
+            m0 = jnp.dot(e_row.astype(cd), v1_ref[:, sl],
+                         preferred_element_type=jnp.float32)
+            outs.append(
+                (m0 * pl.reciprocal(denom_r + 1e-30, approx=True)).astype(cd)
+            )
+            prev_m = colmax_ref[h, :]
+            new_m = jnp.maximum(
+                jnp.maximum(prev_m, jnp.max(sim, axis=0)), -1e4
+            )
+            factor = jnp.exp(prev_m - new_m)
+            e_col = jnp.exp(sim - new_m[None, :])
+            colacc_ref[:, sl] = (
+                colacc_ref[:, sl] * factor[:, None]
+                + jax.lax.dot_general(
+                    e_col.astype(cd), v0[:, sl],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            coldenom_ref[h, :] = coldenom_ref[h, :] * factor + jnp.sum(
+                e_col, axis=0
+            )
+            colmax_ref[h, :] = new_m
+        ctx0 = jnp.concatenate(outs, axis=1)
+        o0_ref[0, rows] = _ffn_tail(
+            x0r, ctx0, wout_ref, bout_ref, wff1_ref, bff1_ref,
+            lns_ref, lnb_ref, wff2_ref, bff2_ref, cd,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+    for h in range(num_heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        inv = pl.reciprocal(coldenom_ref[h, :][:, None] + 1e-30, approx=True)
+        o1_ref[0, :, sl] = (colacc_ref[:, sl] * inv).astype(cd)
+
+    def ffn1_chunk(c, _):
+        start = pl.multiple_of(c * block_q, block_q)
+        rows = pl.ds(start, block_q)
+        o1_ref[0, rows] = _ffn_tail(
+            x1_ref[0, rows], o1_ref[0, rows], wout_ref, bout_ref,
+            wff1_ref, bff1_ref, lns_ref, lnb_ref, wff2_ref, bff2_ref, cd,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, ffn1_chunk, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_q", "interpret", "masked")
+)
+def fused_self_block_v2(
+    x, cos64, sina64, sinb64, mask,
+    wqkv, bqkv, wout, bout, wff1, bff1, lns, lnb, wff2, bff2,
+    num_heads: int = 4, block_q: int = 256, interpret: bool = False,
+    masked: bool = False,
+):
+    """Large-N fused self block: x (S, N, D); compact per-head rotary
+    tables (S, N, D/num_heads); mask (S, N) int32 (ignored when
+    masked=False). Returns (S, N, D)."""
+    s, n, d = x.shape
+    dh = d // num_heads
+    grid = (s,)
+    kernel = functools.partial(
+        _self_block_kernel_v2, num_heads=num_heads, block_q=min(block_q, n),
+        masked=masked,
+    )
+    row = lambda i: (i, 0, 0)
+    full = lambda i: (0, 0)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((s, n, d), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, d), row),
+            pl.BlockSpec((1, n, dh), row),
+            pl.BlockSpec((1, n, dh), row),
+            pl.BlockSpec((1, n, dh), row),
+            pl.BlockSpec((1, 1, n), row),
+            pl.BlockSpec((d, 3 * d), full),
+            pl.BlockSpec((1, 3 * d), full),
+            pl.BlockSpec((d, d), full),
+            pl.BlockSpec((1, d), full),
+            pl.BlockSpec((2 * d, 2 * d), full),
+            pl.BlockSpec((1, 2 * d), full),
+            pl.BlockSpec((1, 2 * d), full),
+            pl.BlockSpec((1, 2 * d), full),
+            pl.BlockSpec((2 * d, d), full),
+            pl.BlockSpec((1, d), full),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), row),
+        scratch_shapes=[
+            pltpu.VMEM((n, d), x.dtype),      # k
+            pltpu.VMEM((n, d), x.dtype),      # v
+            pltpu.VMEM((n, 1), jnp.float32),  # row mask (sublane layout)
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(x, cos64, sina64, sinb64, mask[:, None, :],
+      wqkv, _w2(bqkv), wout, _w2(bout), wff1, _w2(bff1), _w2(lns), _w2(lnb),
+      wff2, _w2(bff2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "block_q", "interpret", "masked")
+)
+def fused_cross_block_v2(
+    x, mask,
+    wqk, bqk, wv, bv, wout, bout, wff1, bff1, lns, lnb, wff2, bff2,
+    num_heads: int = 4, block_q: int = 256, interpret: bool = False,
+    masked: bool = False,
+):
+    """Large-N fused bidirectional cross block: x (2B, N, D) with pair i =
+    rows (i, i+B); mask (2B, N) int32 (ignored when masked=False).
+    Returns (2B, N, D)."""
+    s, n, d = x.shape
+    b = s // 2
+    grid = (b,)
+    kernel = functools.partial(
+        _cross_block_kernel_v2, num_heads=num_heads, block_q=min(block_q, n),
+        masked=masked,
+    )
+    half0 = lambda i: (i, 0, 0)
+    half1 = lambda i: (i + b, 0, 0)
+    full = lambda i: (0, 0)
+    m0, m1 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, d), x.dtype),
+            jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, d), half0),
+            pl.BlockSpec((1, n, d), half1),
+            pl.BlockSpec((1, 1, n), half0),
+            pl.BlockSpec((1, 1, n), half1),
+            pl.BlockSpec((d, d), full),
+            pl.BlockSpec((1, d), full),
+            pl.BlockSpec((d, d), full),
+            pl.BlockSpec((1, d), full),
+            pl.BlockSpec((d, d), full),
+            pl.BlockSpec((1, d), full),
+            pl.BlockSpec((2 * d, 2 * d), full),
+            pl.BlockSpec((1, 2 * d), full),
+            pl.BlockSpec((1, 2 * d), full),
+            pl.BlockSpec((1, 2 * d), full),
+            pl.BlockSpec((2 * d, d), full),
+            pl.BlockSpec((1, d), full),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, d), half0),
+            pl.BlockSpec((1, n, d), half0),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, d), x.dtype),              # qk1
+            pltpu.VMEM((n, d), x.dtype),              # v1
+            pltpu.VMEM((n, 1), jnp.float32),          # row bias
+            pltpu.VMEM((num_heads, n), jnp.float32),  # colmax
+            pltpu.VMEM((num_heads, n), jnp.float32),  # coldenom
+            pltpu.VMEM((n, d), jnp.float32),          # colacc
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+    )(x, x, mask[:, None, :], mask[:, None, :],
+      wqk, _w2(bqk), wv, _w2(bv), wout, _w2(bout), wff1, _w2(bff1),
+      _w2(lns), _w2(lnb), wff2, _w2(bff2))
+    return jnp.concatenate([m0, m1], axis=0)
+
+
+__all__ = [
+    "fused_self_block", "fused_cross_block",
+    "fused_self_block_v2", "fused_cross_block_v2",
+    "rotary_tables",
+]

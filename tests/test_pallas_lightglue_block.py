@@ -96,6 +96,29 @@ class TestFusedLayerParity:
         mask0 = np.asarray(data["keypoint_mask0"])
         assert (np.asarray(out_fused["matches0"])[~mask0] == -1).all()
 
+    def test_large_n_v2_path_matches_unfused(self, rng):
+        """N > 1024 routes through the VMEM-lean v2 kernels (compact rotary
+        tables, chunk-projected q, FFN fused into the chunk loop) — masked
+        parity at N=1152."""
+        n = 1152
+        data = _data(rng, 1, n)
+        m0 = np.ones((1, n), bool)
+        m0[:, -300:] = False
+        m1 = np.ones((1, n), bool)
+        m1[:, -150:] = False
+        data["keypoint_mask0"] = jnp.asarray(m0)
+        data["keypoint_mask1"] = jnp.asarray(m1)
+        m_off = get_model("lightglue").from_conf({"fused_layer": False})
+        params = m_off.init(jax.random.PRNGKey(5), data)
+        out_ref = m_off.apply(params, data)
+        m_on = get_model("lightglue").from_conf({"fused_layer": True})
+        out_fused = m_on.apply(params, data)
+        np.testing.assert_allclose(
+            out_ref["log_assignment"], out_fused["log_assignment"], atol=5e-3
+        )
+        assert (out_ref["matches0"] == out_fused["matches0"]).mean() > 0.99
+        assert (np.asarray(out_fused["matches0"])[~m0] == -1).all()
+
     def test_adaptive_with_compact_phase_matches_unfused(self, rng):
         """The adaptive while_loop (depth exit + width pruning incl. the
         compact-prefix phase) runs through the fused kernels when the
